@@ -1,0 +1,76 @@
+"""LPA — label propagation, reference-exact.
+
+Reference: /root/reference/computer-algorithm/.../community/lpa/
+Lpa.java:37-102 (no combiner — the vote needs the raw label multiset).
+
+Semantics reproduced exactly:
+- superstep 0 (Lpa.java:50-55): label = own id, broadcast to out-edges.
+- superstep s>=1 (:57-64): ONLY vertices that received messages vote
+  (compute() is invoked only for message recipients; `assert
+  messages.hasNext()` :69). The vote (voteLabel, :66-101) adopts the
+  most frequent incoming label; ties broken by MINIMUM label
+  (naturalOrder on ids == byte order). Voters rebroadcast their new
+  label; non-recipients keep their label and stay silent.
+- every vertex inactivates each step, so the run is capped by
+  bsp.max_super_step (default 10 -> supersteps 0..9, i.e. 9 vote
+  rounds; MasterService.java:353-364 stops at s >= max-1).
+
+Spark mapping of the vote: groupBy(dst, label).count() then one window
+row_number() over (partition by dst order by count desc, label asc) —
+no collect_list, no per-row Python. maxFreq starts at 1 (Lpa.java:82)
+so a single message always wins — count>=1 always satisfies it.
+
+Scale notes: the vote is two shuffles (count agg + window by dst); the
+window partitions by dst so skewed in-degree hubs land in one task —
+AQE skew handling applies; for extreme hubs the count agg output is
+already tiny (distinct labels per dst), which bounds the window input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hugegraph_computer_spark.engine.superstep import StepOutput, VertexProgram
+
+
+class Lpa(VertexProgram):
+    name = "lpa"
+
+    def __init__(self, max_supersteps: int = 10):
+        self.max_supersteps = max_supersteps
+
+    @staticmethod
+    def _scatter(edges):
+        def make(state: DataFrame) -> DataFrame:
+            senders = state.where(F.col("sent")).select("id", "label")
+            return senders.join(edges, senders["id"] == edges["src"]).select(
+                edges["dst"].alias("dst"), F.col("label").alias("msg")
+            )
+
+        return make
+
+    def superstep0(self, g) -> StepOutput:
+        state = g.vertices.select(
+            "id", F.col("id").alias("label"), F.lit(True).alias("sent")
+        )
+        return StepOutput(state=state, make_messages=self._scatter(g.edges))
+
+    def superstep(self, s, g, state, messages, aggs) -> StepOutput:
+        votes = messages.groupBy("dst", "msg").agg(F.count(F.lit(1)).alias("freq"))
+        w = Window.partitionBy("dst").orderBy(F.desc("freq"), F.asc("msg"))
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("dst", F.col("msg").alias("new_label"))
+        )
+        joined = state.join(winners, state["id"] == winners["dst"], "left")
+        new_state = joined.select(
+            state["id"].alias("id"),
+            F.coalesce("new_label", F.col("label")).alias("label"),
+            F.col("new_label").isNotNull().alias("sent"),
+        )
+        return StepOutput(state=new_state, make_messages=self._scatter(g.edges))
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return state.select("id", "label")

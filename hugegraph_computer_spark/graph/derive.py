@@ -1,0 +1,248 @@
+"""Transcript table -> link graph derivation (pure DataFrame ops).
+
+Input shape (BASELINE.json input_hint):
+    transcripts(conv_id: string, turn_idx: int, role: string,
+                text: string, tool: string|null, ts: timestamp)
+
+Derived graph (FIXTURES.md §2):
+    nodes(id)  = turn nodes "{conv_id}#{turn_idx:02d}"
+               ∪ role nodes "role:{role}" ∪ tool nodes "tool:{tool}"
+    edges(src, dst, weight, etype):
+      reply   consecutive turns within a conversation (stable turn
+              ordering via Window.partitionBy(conv_id).orderBy(turn_idx))
+      mention turn -> tool used in that turn
+      uses    role -> tool, weight = interaction count
+      copart  role -> tool sharing a conv_id, weight = #shared convs
+
+Graph-construction semantics mirror the reference's loader knobs
+(/root/reference/computer-core/.../config/ComputerOptions.java:933-940
+`input.vertex_with_edges_bothdirection`, :158-175 `input.edge_freq`):
+`Graph.both_direction()` synthesizes dst->src mirror edges with inv=true
+(WorkerInputManager.java:155-177); `Graph.undirected_single()` is the
+TriangleCount view (bothdirection + edge_freq=SINGLE,
+TriangleCountParams.java:41-45). Vertices appearing only as edge targets
+still exist (shell vertices, WorkerInputManager.java:167-176) — covered
+because nodes() unions every id that edges can reference.
+
+The canonical deterministic mapping from the driver's `events` table to
+the transcript shape lives in ``transcripts_from_events`` and is mirrored
+verbatim in SQL by ``hugegraph_computer_spark.oracles.sql.TRANSCRIPTS_SQL``
+so the DuckDB oracle sees the identical input.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TURNS_PER_CONV = 16  # caps conversation length -> bounds graph diameter
+
+ROLE_BY_EVENT = {
+    "click": "user",
+    "view": "assistant",
+    "signup": "system",
+    "purchase": "agent_0",
+}
+DEFAULT_ROLE = "agent_1"
+TOOL_BY_EVENT = {"click": "search", "purchase": "sql", "error": "code"}
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape the events table into the transcript
+    schema mandated by BASELINE.json input_hint. Pure window + column
+    expressions; per-turn text is a pure function of (conv_id, turn_idx)
+    so the per-row invariant "per-turn text equality under stable turn
+    ordering" holds by construction."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = F.row_number().over(w) - F.lit(1)
+
+    role = F.lit(DEFAULT_ROLE)
+    for k, v in sorted(ROLE_BY_EVENT.items()):
+        role = F.when(F.col("event_type") == k, F.lit(v)).otherwise(role)
+    tool = F.lit(None).cast("string")
+    for k, v in sorted(TOOL_BY_EVENT.items()):
+        tool = F.when(F.col("event_type") == k, F.lit(v)).otherwise(tool)
+
+    conv_id = F.concat(
+        F.lit("conv_"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0"),
+        F.lit("_"),
+        F.lpad(F.floor(seq / TURNS_PER_CONV).cast("string"), 4, "0"),
+    )
+    turn_idx = (seq % TURNS_PER_CONV).cast("int")
+    return (
+        ev.select(
+            conv_id.alias("conv_id"),
+            turn_idx.alias("turn_idx"),
+            role.alias("role"),
+            tool.alias("tool"),
+            F.col("ts"),
+        )
+        .withColumn(
+            "text",
+            F.concat(F.lit("t:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")),
+        )
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def _turn_node(conv_id, turn_idx):
+    return F.concat(conv_id, F.lit("#"), F.lpad(turn_idx.cast("string"), 2, "0"))
+
+
+def derive_edges(transcripts: DataFrame) -> DataFrame:
+    """edges(src, dst, weight, etype) — four edge families, all derived
+    with window/groupBy built-ins (no UDFs, fully pushdown-friendly)."""
+    t = transcripts
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    node = _turn_node(F.col("conv_id"), F.col("turn_idx"))
+
+    reply = (
+        t.select(
+            F.lag(node).over(w).alias("src"),
+            node.alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .withColumn("weight", F.lit(1.0))
+        .withColumn("etype", F.lit("reply"))
+    )
+
+    mention = (
+        t.where(F.col("tool").isNotNull())
+        .select(
+            node.alias("src"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+        )
+        .withColumn("weight", F.lit(1.0))
+        .withColumn("etype", F.lit("mention"))
+    )
+
+    uses = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(
+            F.concat(F.lit("role:"), F.col("role")).alias("src"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("etype", F.lit("uses"))
+    )
+
+    conv_roles = t.select("conv_id", "role").distinct()
+    conv_tools = t.where(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    copart = (
+        conv_roles.join(conv_tools, "conv_id")
+        .groupBy(
+            F.concat(F.lit("role:"), F.col("role")).alias("src"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("etype", F.lit("copart"))
+    )
+
+    return (
+        reply.select("src", "dst", "weight", "etype")
+        .unionByName(mention.select("src", "dst", "weight", "etype"))
+        .unionByName(uses.select("src", "dst", "weight", "etype"))
+        .unionByName(copart.select("src", "dst", "weight", "etype"))
+    )
+
+
+def derive_nodes(transcripts: DataFrame) -> DataFrame:
+    """nodes(id) — turn ∪ role ∪ tool nodes (shell vertices included)."""
+    t = transcripts
+    turn = t.select(_turn_node(F.col("conv_id"), F.col("turn_idx")).alias("id"))
+    role = t.select(F.concat(F.lit("role:"), F.col("role")).alias("id")).distinct()
+    tool = (
+        t.where(F.col("tool").isNotNull())
+        .select(F.concat(F.lit("tool:"), F.col("tool")).alias("id"))
+        .distinct()
+    )
+    return turn.unionByName(role).unionByName(tool).distinct()
+
+
+@dataclass
+class Graph:
+    """Vertex/edge DataFrame pair + the reference's direction/multiplicity
+    views. `partitions` controls explicit co-partitioning: vertices are
+    hash-partitioned by id and edges by src so the scatter join
+    (state ⋈ edges on id=src) is co-located — the Spark analogue of the
+    reference's HashPartitioner co-located partition files
+    (HashPartitioner.java:43-59, FileGraphPartition.java:147-174)."""
+
+    vertices: DataFrame
+    edges: DataFrame
+    partitions: int | None = None
+    _nv: int | None = field(default=None, repr=False)
+
+    @classmethod
+    def from_transcripts(
+        cls, transcripts: DataFrame, partitions: int | None = None, cache: bool = True
+    ) -> "Graph":
+        nodes = derive_nodes(transcripts)
+        edges = derive_edges(transcripts)
+        if partitions:
+            nodes = nodes.repartition(partitions, "id")
+            edges = edges.repartition(partitions, "src")
+        if cache:
+            nodes = nodes.persist()
+            edges = edges.persist()
+        return cls(vertices=nodes, edges=edges, partitions=partitions)
+
+    @property
+    def num_vertices(self) -> int:
+        if self._nv is None:
+            self._nv = self.vertices.count()
+        return self._nv
+
+    def out_degrees(self) -> DataFrame:
+        """(id, outdeg) for every vertex, 0 for dangling — one edge-count
+        per edge record, matching Vertex.numEdges() over loaded edges."""
+        deg = self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+        return self.vertices.join(deg, "id", "left").select(
+            "id", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        )
+
+    def both_direction(self) -> "Graph":
+        """Mirror every edge dst->src with inv=true (reference R5,
+        WorkerInputManager.java:155-177)."""
+        fwd = self.edges.withColumn("inv", F.lit(False))
+        rev = self.edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "weight",
+            "etype",
+        ).withColumn("inv", F.lit(True))
+        return Graph(self.vertices, fwd.unionByName(rev), self.partitions, self._nv)
+
+    def undirected_single(self) -> "Graph":
+        """Symmetrized, (src,dst)-deduped, self-loop-free view — the
+        TriangleCount/ClusteringCoefficient input (bothdirection=true +
+        edge_freq=SINGLE, TriangleCountParams.java:41-45; self-loops
+        dropped per TriangleCount.java:76-77)."""
+        sym = self.edges.select("src", "dst").union(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        und = (
+            sym.where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .withColumn("weight", F.lit(1.0))
+            .withColumn("etype", F.lit("und"))
+        )
+        if self.partitions:
+            und = und.repartition(self.partitions, "src")
+        return Graph(self.vertices, und, self.partitions, self._nv)
+
+    def edges_single(self) -> "Graph":
+        """edge_freq=SINGLE on the directed view: dedup on (src,dst)
+        (EdgeFrequency.java:25-44)."""
+        return Graph(
+            self.vertices,
+            self.edges.dropDuplicates(["src", "dst"]),
+            self.partitions,
+            self._nv,
+        )

@@ -1,0 +1,188 @@
+"""Pure-Python oracles implementing the REFERENCE semantics exactly
+(no Spark). Used by pytest to golden-check the engine per FIXTURES.md §4.
+
+Each oracle mirrors the cited Java source line-for-line in behavior:
+- pagerank: PageRank.java:68-105 + PageRank4Master.java:99-104
+- wcc:      Wcc.java:47-72 (directed out-edge propagation, min combiner)
+- lpa:      Lpa.java:50-101 (recipients-only vote, min-label tie-break)
+- triangle: TriangleCount.java:69-195 (bothdirection SINGLE view)
+- sssp:     Sssp.java fixpoint (min-distance relaxation, -1 unreached)
+- kcore:    KCore.java:55-92 (peel: core=outdeg, zero + notify when <k)
+
+Ids are Python strings; all fixture/derived ids are ASCII so Python's
+string order == Java byte order (BytesId.java:224-231).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+
+def pagerank(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    alpha: float = 0.15,
+    l1_tol: float = 1e-6,
+    max_supersteps: int = 100,
+) -> tuple[dict[str, float], int]:
+    """Returns (rank per node, supersteps executed incl. superstep 0)."""
+    n = len(nodes)
+    out: dict[str, list[str]] = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+
+    # superstep 0 (compute0)
+    rank = {v: 1.0 / n for v in nodes}
+    cumulative = sum(rank.values())
+    dangling_cum = sum(rank[v] for v in nodes if not out[v])
+    msgs: dict[str, float] = defaultdict(float)
+    for v in nodes:
+        if out[v]:
+            c = rank[v] / len(out[v])
+            for d in out[v]:
+                msgs[d] += c
+
+    s = 0
+    while True:
+        if s >= max_supersteps - 1:
+            break
+        if s > 1 and l1 <= l1_tol:  # noqa: F821 — set from s>=1 iterations
+            break
+        s += 1
+        dangling_rank = dangling_cum / n
+        teleport = alpha / n
+        new_rank = {}
+        l1 = 0.0
+        for v in nodes:
+            r = (dangling_rank + msgs.get(v, 0.0)) * (1.0 - alpha) + teleport
+            r /= cumulative
+            l1 += abs(rank[v] - r)
+            new_rank[v] = r
+        rank = new_rank
+        cumulative = sum(rank.values())
+        dangling_cum = sum(rank[v] for v in nodes if not out[v])
+        msgs = defaultdict(float)
+        for v in nodes:
+            if out[v]:
+                c = rank[v] / len(out[v])
+                for d in out[v]:
+                    msgs[d] += c
+    return rank, s + 1
+
+
+def wcc(nodes: list[str], edges: list[tuple[str, str]]) -> dict[str, str]:
+    out: dict[str, list[str]] = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    # superstep 0
+    comp = {v: min([v] + out[v]) for v in nodes}
+    msgs: dict[str, str] = {}
+    for v in nodes:
+        for d in out[v]:
+            if comp[v] < d:  # sendMessageToAllEdgesIf(value < target)
+                msgs[d] = min(msgs[d], comp[v]) if d in msgs else comp[v]
+    while msgs:
+        new_msgs: dict[str, str] = {}
+        for v, m in msgs.items():
+            if m < comp[v]:
+                comp[v] = m
+                for d in out[v]:  # rebroadcast to ALL out-edges
+                    new_msgs[d] = min(new_msgs[d], m) if d in new_msgs else m
+        msgs = new_msgs
+    return comp
+
+
+def lpa(
+    nodes: list[str], edges: list[tuple[str, str]], max_supersteps: int = 10
+) -> dict[str, str]:
+    out: dict[str, list[str]] = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    label = {v: v for v in nodes}
+    # superstep 0: everyone broadcasts
+    inbox: dict[str, list[str]] = defaultdict(list)
+    for v in nodes:
+        for d in out[v]:
+            inbox[d].append(label[v])
+    for _s in range(1, max_supersteps):
+        if not inbox:
+            break
+        new_inbox: dict[str, list[str]] = defaultdict(list)
+        for v, incoming in inbox.items():
+            freq = Counter(incoming)
+            max_freq = max(freq.values())
+            label[v] = min(l for l, c in freq.items() if c == max_freq)
+            for d in out[v]:
+                new_inbox[d].append(label[v])
+        inbox = new_inbox
+    return label
+
+
+def triangle_count(
+    nodes: list[str], edges: list[tuple[str, str]]
+) -> dict[str, int]:
+    nbrs: dict[str, set[str]] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    counts = {}
+    for v in nodes:
+        lower_of = 0
+        for u in nbrs[v]:
+            lower_of += sum(1 for w in nbrs[u] if w < u and w in nbrs[v])
+        counts[v] = lower_of
+    return counts
+
+
+def sssp(
+    nodes: list[str],
+    edges: list[tuple[str, str, float]],
+    source: str,
+) -> dict[str, float]:
+    """Min-distance fixpoint along directed weighted edges; -1 unreached."""
+    out: dict[str, list[tuple[str, float]]] = defaultdict(list)
+    for s, d, w in edges:
+        out[s].append((d, w))
+    dist = {v: float("inf") for v in nodes}
+    dist[source] = 0.0
+    frontier = {source}
+    while frontier:
+        nxt = set()
+        for v in frontier:
+            for d, w in out[v]:
+                nd = dist[v] + w
+                if nd < dist[d]:
+                    dist[d] = nd
+                    nxt.add(d)
+        frontier = nxt
+    return {v: (dist[v] if dist[v] != float("inf") else -1.0) for v in nodes}
+
+
+def kcore(
+    nodes: list[str], edges: list[tuple[str, str]], k: int = 3
+) -> dict[str, int]:
+    """Reference peel over the directed multigraph as loaded: core starts
+    at out-degree (edge records), deleted vertices notify OUT-targets."""
+    out: dict[str, list[str]] = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    core = {v: len(out[v]) for v in nodes}
+    alive = {v for v in nodes if core[v] >= k}
+    newly = [v for v in nodes if core[v] < k]
+    for v in newly:
+        core[v] = 0
+    while newly:
+        hits: dict[str, int] = defaultdict(int)
+        for v in newly:
+            for d in out[v]:
+                if d in alive:
+                    hits[d] += 1
+        newly = []
+        for v, h in hits.items():
+            core[v] -= h
+            if core[v] < k:
+                core[v] = 0
+                alive.discard(v)
+                newly.append(v)
+    return core

@@ -1,0 +1,103 @@
+"""Edge/node derivation unit tests on a hand-written transcript table."""
+
+from __future__ import annotations
+
+from tests.conftest import make_transcripts
+
+ROWS = [
+    # conv A: 3 turns, user->assistant->user, tools on turns 0 and 2
+    ("conv_a", 0, "user", "search"),
+    ("conv_a", 1, "assistant", None),
+    ("conv_a", 2, "user", "search"),
+    # conv B: 2 turns, one tool
+    ("conv_b", 0, "system", None),
+    ("conv_b", 1, "agent_0", "sql"),
+]
+
+
+def _derived(spark):
+    from hugegraph_computer_spark.graph import derive_edges, derive_nodes
+
+    t = make_transcripts(spark, ROWS)
+    edges = {
+        (r["src"], r["dst"], r["etype"]): r["weight"]
+        for r in derive_edges(t).collect()
+    }
+    nodes = {r["id"] for r in derive_nodes(t).collect()}
+    return nodes, edges
+
+
+def test_nodes(spark):
+    nodes, _ = _derived(spark)
+    assert nodes == {
+        "conv_a#00",
+        "conv_a#01",
+        "conv_a#02",
+        "conv_b#00",
+        "conv_b#01",
+        "role:user",
+        "role:assistant",
+        "role:system",
+        "role:agent_0",
+        "tool:search",
+        "tool:sql",
+    }
+
+
+def test_reply_edges(spark):
+    _, edges = _derived(spark)
+    assert edges[("conv_a#00", "conv_a#01", "reply")] == 1.0
+    assert edges[("conv_a#01", "conv_a#02", "reply")] == 1.0
+    assert edges[("conv_b#00", "conv_b#01", "reply")] == 1.0
+    assert sum(1 for k in edges if k[2] == "reply") == 3
+
+
+def test_mention_edges(spark):
+    _, edges = _derived(spark)
+    assert ("conv_a#00", "tool:search", "mention") in edges
+    assert ("conv_a#02", "tool:search", "mention") in edges
+    assert ("conv_b#01", "tool:sql", "mention") in edges
+    assert sum(1 for k in edges if k[2] == "mention") == 3
+
+
+def test_uses_weight_is_interaction_count(spark):
+    _, edges = _derived(spark)
+    assert edges[("role:user", "tool:search", "uses")] == 2.0
+    assert edges[("role:agent_0", "tool:sql", "uses")] == 1.0
+
+
+def test_copart_weight_is_shared_conv_count(spark):
+    _, edges = _derived(spark)
+    # conv_a roles {user, assistant} x tools {search}
+    assert edges[("role:user", "tool:search", "copart")] == 1.0
+    assert edges[("role:assistant", "tool:search", "copart")] == 1.0
+    # conv_b roles {system, agent_0} x tools {sql}
+    assert edges[("role:system", "tool:sql", "copart")] == 1.0
+
+
+def test_transcripts_from_events_shape(spark):
+    from hugegraph_computer_spark.graph import transcripts_from_events
+
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.count() == 1000
+    # stable turn ordering: turn_idx dense & unique per conv
+    from pyspark.sql import functions as F
+
+    bad = (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("turn_idx").alias("d"),
+            F.max("turn_idx").alias("mx"),
+        )
+        .where((F.col("n") != F.col("d")) | (F.col("mx") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+    # per-row invariant: per-turn text is a pure function of (conv, turn)
+    bad_text = t.where(
+        F.col("text")
+        != F.concat(F.lit("t:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx"))
+    ).count()
+    assert bad_text == 0
