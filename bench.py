@@ -1,0 +1,96 @@
+"""Benchmark harness — runs the headline graph queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Extras carried for the north rule's throughput metric: PageRank
+supersteps, supersteps/min, and edges-processed/sec (edges x supersteps
+/ wall) at 1e-6 convergence. Scaling-efficiency evidence (same job at
+two parallelism levels) is produced by tools/scaling_report.py, which
+shells out to this file with SPARK_GRAFT_CPUS=8 and 32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hugegraph_computer_spark.algorithms import (
+    Lpa,
+    PageRank,
+    Wcc,
+    triangle_count,
+)
+from hugegraph_computer_spark.engine import PregelRunner
+from hugegraph_computer_spark.graph import Graph, transcripts_from_events
+from hugegraph_computer_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(
+        app_name=f"hcs-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    t0 = time.monotonic()
+    g = Graph.from_transcripts(transcripts_from_events(spark, sf_dir), partitions=cpus)
+    n_vertices = g.num_vertices
+    n_edges = g.edges.count()
+    timings["graph_derivation"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    pr = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=100), g)
+    pr.state.count()
+    pr_sec = time.monotonic() - t0
+    timings["pagerank_1e6"] = pr_sec
+    extras["pagerank_supersteps"] = pr.supersteps
+    extras["pagerank_supersteps_per_min"] = pr.supersteps / pr_sec * 60.0
+    extras["pagerank_edges_per_sec"] = n_edges * pr.supersteps / pr_sec
+
+    t0 = time.monotonic()
+    wcc_res = PregelRunner().run(Wcc(), g)
+    wcc_res.state.count()
+    timings["wcc"] = time.monotonic() - t0
+    extras["wcc_supersteps"] = wcc_res.supersteps
+
+    t0 = time.monotonic()
+    lpa_res = PregelRunner().run(Lpa(max_supersteps=10), g)
+    lpa_res.state.count()
+    timings["lpa10"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    triangle_count(g).count()
+    timings["triangle_count"] = time.monotonic() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "graph suite wall-clock (derive + pagerank@1e-6 + wcc + lpa10 + triangles)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "vertices": n_vertices,
+        "edges": n_edges,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,314 @@
+"""ANSI-SQL oracles (DuckDB-runnable) mirroring every engine query.
+
+The driver runs each Spark query AND the matching SQL here over the
+SAME parquet tables and compares row-count + schema + value hash. The
+SQL below re-derives the transcript table and the edge table with the
+exact expressions of graph/derive.py, then expresses each algorithm:
+
+- closed-form ops (degree, triangles, clustering coefficient) as joins;
+- iterative ops (PageRank, WCC, LPA, SSSP, k-core) as UNROLLED chains
+  of CTEs — one CTE trio per superstep with the reference's exact
+  update rule. Unrolling is valid because the derived graph's directed
+  diameter is bounded by design: conversations are capped at
+  TURNS_PER_CONV=16 turns (graph/derive.py), so reply chains are <=15
+  hops and the longest directed path is <=16; WCC/SSSP fixpoints are
+  reached well inside the unroll depths used here, and fixed-round
+  algorithms (PageRank 10 supersteps, LPA 10 supersteps) unroll to
+  exactly the reference round count.
+
+Float columns are emitted as round(x, 6) on BOTH sides (Spark + SQL):
+the per-vertex math is identical, but aggregation order differs between
+engines, so raw doubles differ at ~1e-13 relative — rounding makes the
+value-hash comparison robust while still asserting 6 significant
+decimal digits. PageRank additionally scales by N (ranks are O(1/N))
+so the rounded comparison asserts ~6 significant digits, not absolute
+decimals on tiny values.
+"""
+
+from __future__ import annotations
+
+ALPHA = 0.15
+K_CORE_K = 3
+
+# ---------------------------------------------------------------------------
+# Base CTEs: events -> transcripts -> turns -> edges/nodes
+# (must stay expression-identical to graph/derive.py)
+# ---------------------------------------------------------------------------
+
+BASE = """
+events_seq AS MATERIALIZED (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+  FROM events
+),
+transcripts AS MATERIALIZED (
+  SELECT
+    'conv_' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '_' ||
+      lpad(CAST(CAST(FLOOR(seq / 16) AS INTEGER) AS VARCHAR), 4, '0') AS conv_id,
+    CAST(seq % 16 AS INTEGER) AS turn_idx,
+    CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+         WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'agent_0'
+         ELSE 'agent_1' END AS role,
+    CASE event_type WHEN 'click' THEN 'search' WHEN 'purchase' THEN 'sql'
+         WHEN 'error' THEN 'code' ELSE NULL END AS tool,
+    ts
+  FROM events_seq
+),
+turns AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, tool,
+         conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 2, '0') AS node
+  FROM transcripts
+),
+reply_e AS (
+  SELECT src, dst, 1.0 AS weight, 'reply' AS etype FROM (
+    SELECT lag(node) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src,
+           node AS dst
+    FROM turns
+  ) WHERE src IS NOT NULL
+),
+mention_e AS (
+  SELECT node AS src, 'tool:' || tool AS dst, 1.0 AS weight, 'mention' AS etype
+  FROM turns WHERE tool IS NOT NULL
+),
+uses_e AS (
+  SELECT 'role:' || role AS src, 'tool:' || tool AS dst,
+         CAST(count(*) AS DOUBLE) AS weight, 'uses' AS etype
+  FROM turns WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+copart_e AS (
+  SELECT 'role:' || r.role AS src, 'tool:' || t.tool AS dst,
+         CAST(count(*) AS DOUBLE) AS weight, 'copart' AS etype
+  FROM (SELECT DISTINCT conv_id, role FROM turns) r
+  JOIN (SELECT DISTINCT conv_id, tool FROM turns WHERE tool IS NOT NULL) t
+    ON r.conv_id = t.conv_id
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT * FROM reply_e UNION ALL SELECT * FROM mention_e
+  UNION ALL SELECT * FROM uses_e UNION ALL SELECT * FROM copart_e
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node AS id FROM turns
+  UNION SELECT DISTINCT 'role:' || role FROM turns
+  UNION SELECT DISTINCT 'tool:' || tool FROM turns WHERE tool IS NOT NULL
+),
+outdeg AS MATERIALIZED (
+  SELECT n.id, coalesce(d.c, 0) AS outdeg
+  FROM nodes n LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) d
+    ON n.id = d.src
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  ) WHERE src <> dst
+)
+"""
+
+
+def _with(extra: str, select: str) -> str:
+    return f"WITH {BASE.strip()},\n{extra}\n{select}"
+
+
+def transcript_derivation() -> str:
+    return (
+        f"WITH {BASE.strip()} "
+        "SELECT conv_id, turn_idx, role, "
+        "'t:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS text, tool "
+        "FROM transcripts"
+    )
+
+
+def edge_derivation() -> str:
+    return f"WITH {BASE.strip()} SELECT src, dst, round(weight, 6) AS weight, etype FROM edges"
+
+
+def nodes_query() -> str:
+    return f"WITH {BASE.strip()} SELECT id FROM nodes"
+
+
+def degree_centrality() -> str:
+    return (
+        f"WITH {BASE.strip()} "
+        "SELECT id, CAST(outdeg AS DOUBLE) AS degree FROM outdeg"
+    )
+
+
+def degree_weighted() -> str:
+    extra = """
+wdeg AS (SELECT src, sum(coalesce(weight, 1.0)) AS w FROM edges GROUP BY src)
+"""
+    return _with(
+        extra.strip(),
+        "SELECT n.id, round(coalesce(d.w, 0.0), 6) AS degree "
+        "FROM nodes n LEFT JOIN wdeg d ON n.id = d.src",
+    )
+
+
+def pagerank(supersteps: int = 10, alpha: float = ALPHA) -> str:
+    """Unrolled reference PageRank: superstep 0 init + (supersteps-1)
+    update rounds of PageRank.java:90-92 with previous-round aggregates."""
+    parts = [
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "s0 AS MATERIALIZED (SELECT id, outdeg, 1.0 / (SELECT n FROM nn) AS rank FROM outdeg)",
+    ]
+    for r in range(supersteps - 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT sum(rank) AS cum, "
+            f"sum(CASE WHEN outdeg = 0 THEN rank ELSE 0.0 END) AS dang FROM s{r})"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT e.dst AS id, sum(s.rank / s.outdeg) AS msum "
+            f"FROM s{r} s JOIN edges e ON s.id = e.src WHERE s.outdeg > 0 "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT s.id, s.outdeg, "
+            f"((a.dang / (SELECT n FROM nn) + coalesce(m.msum, 0.0)) * {1.0 - alpha!r} "
+            f"+ {alpha!r} / (SELECT n FROM nn)) / a.cum AS rank "
+            f"FROM s{r} s CROSS JOIN a{r} a LEFT JOIN m{r} m ON s.id = m.id)"
+        )
+    final = supersteps - 1
+    return _with(
+        ",\n".join(parts),
+        f"SELECT id, round(rank * (SELECT n FROM nn), 6) AS rank_x_n FROM s{final}",
+    )
+
+
+def wcc(rounds: int = 24) -> str:
+    """Unrolled full min-relaxation. Same fixpoint as the reference's
+    message passing (Wcc.java:47-72): comp*(v) = min over v and all
+    directed ancestors u of min(u, out-nbrs(u)). `rounds` must exceed
+    the longest directed path (<=16 by construction)."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT n.id, least(n.id, coalesce(mn.m, n.id)) AS comp "
+        "FROM nodes n LEFT JOIN (SELECT src, min(dst) AS m FROM edges GROUP BY src) mn "
+        "ON n.id = mn.src)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"w{r + 1} AS MATERIALIZED (SELECT w.id, least(w.comp, coalesce(im.m, w.comp)) AS comp "
+            f"FROM w{r} w LEFT JOIN ("
+            f"SELECT e.dst AS id, min(s.comp) AS m FROM w{r} s "
+            f"JOIN edges e ON s.id = e.src GROUP BY e.dst) im ON w.id = im.id)"
+        )
+    return _with(",\n".join(parts), f"SELECT id, comp FROM w{rounds}")
+
+
+def lpa(supersteps: int = 10) -> str:
+    """Unrolled reference LPA (Lpa.java:50-101): superstep 0 broadcast +
+    (supersteps-1) vote rounds; only message recipients vote and resend."""
+    parts = ["l0 AS MATERIALIZED (SELECT id, id AS label, TRUE AS sent FROM nodes)"]
+    for r in range(1, supersteps):
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT e.dst AS id, s.label, count(*) AS freq "
+            f"FROM l{r - 1} s JOIN edges e ON s.id = e.src WHERE s.sent "
+            f"GROUP BY e.dst, s.label)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT id, label FROM ("
+            f"SELECT id, label, row_number() OVER "
+            f"(PARTITION BY id ORDER BY freq DESC, label ASC) AS rn FROM v{r}"
+            f") WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT l.id, coalesce(p.label, l.label) AS label, "
+            f"p.label IS NOT NULL AS sent "
+            f"FROM l{r - 1} l LEFT JOIN p{r} p ON l.id = p.id)"
+        )
+    return _with(",\n".join(parts), f"SELECT id, label FROM l{supersteps - 1}")
+
+
+def triangle_count() -> str:
+    extra = """
+cand AS (
+  SELECT e1.src AS v, e2.dst AS w
+  FROM und e1 JOIN und e2 ON e1.dst = e2.src AND e2.dst < e2.src
+),
+tri AS (
+  SELECT c.v, count(*) AS t
+  FROM cand c JOIN und e3 ON c.v = e3.src AND c.w = e3.dst
+  GROUP BY c.v
+)
+"""
+    return _with(
+        extra.strip(),
+        "SELECT n.id, CAST(coalesce(t.t, 0) AS BIGINT) AS triangles "
+        "FROM nodes n LEFT JOIN tri t ON n.id = t.v",
+    )
+
+
+def clustering_coefficient() -> str:
+    extra = """
+cand AS (
+  SELECT e1.src AS v, e2.dst AS w
+  FROM und e1 JOIN und e2 ON e1.dst = e2.src AND e2.dst < e2.src
+),
+tri AS (
+  SELECT c.v, count(*) AS t
+  FROM cand c JOIN und e3 ON c.v = e3.src AND c.w = e3.dst
+  GROUP BY c.v
+),
+undeg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src)
+"""
+    return _with(
+        extra.strip(),
+        "SELECT n.id, CAST(coalesce(t.t, 0) AS BIGINT) AS triangles, "
+        "CAST(coalesce(d.deg, 0) AS BIGINT) AS degree, "
+        "round(CASE WHEN coalesce(d.deg, 0) >= 2 "
+        "THEN 2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1)) ELSE 0.0 END, 6) "
+        "AS coefficient "
+        "FROM nodes n LEFT JOIN tri t ON n.id = t.v LEFT JOIN undeg d ON n.id = d.id",
+    )
+
+
+SSSP_SOURCE_SQL = "(SELECT min(id) FROM nodes WHERE id LIKE 'conv%')"
+
+
+def sssp(rounds: int = 24) -> str:
+    """Unrolled Bellman-Ford relaxation from the lexicographically first
+    turn node; NULL = unreached, -1.0 in the output (Sssp.java:58)."""
+    parts = [
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = {SSSP_SOURCE_SQL} THEN 0.0 END AS dist "
+        f"FROM nodes)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r + 1} AS MATERIALIZED (SELECT d.id, "
+            f"CASE WHEN im.m IS NOT NULL AND (d.dist IS NULL OR im.m < d.dist) "
+            f"THEN im.m ELSE d.dist END AS dist "
+            f"FROM d{r} d LEFT JOIN ("
+            f"SELECT e.dst AS id, min(s.dist + coalesce(e.weight, 1.0)) AS m "
+            f"FROM d{r} s JOIN edges e ON s.id = e.src WHERE s.dist IS NOT NULL "
+            f"GROUP BY e.dst) im ON d.id = im.id)"
+        )
+    return _with(
+        ",\n".join(parts),
+        f"SELECT id, coalesce(round(dist, 6), -1.0) AS dist FROM d{rounds}",
+    )
+
+
+def kcore(rounds: int = 16, k: int = K_CORE_K) -> str:
+    """Unrolled reference peel (KCore.java:55-92): core=outdeg; <k ->
+    zero + notify out-targets; survivors decrement by deletion count."""
+    parts = [
+        f"k0 AS MATERIALIZED (SELECT id, CASE WHEN outdeg < {k} THEN 0 ELSE outdeg END AS core, "
+        f"outdeg >= {k} AS alive, outdeg < {k} AS jd FROM outdeg)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"k{r + 1} AS MATERIALIZED (SELECT kk.id, "
+            f"CASE WHEN NOT kk.alive THEN kk.core "
+            f"WHEN h.hits IS NOT NULL AND kk.core - h.hits < {k} THEN 0 "
+            f"WHEN h.hits IS NOT NULL THEN kk.core - h.hits "
+            f"ELSE kk.core END AS core, "
+            f"kk.alive AND NOT (h.hits IS NOT NULL AND kk.core - h.hits < {k}) AS alive, "
+            f"kk.alive AND h.hits IS NOT NULL AND kk.core - h.hits < {k} AS jd "
+            f"FROM k{r} kk LEFT JOIN ("
+            f"SELECT e.dst AS id, count(*) AS hits FROM k{r} s "
+            f"JOIN edges e ON s.id = e.src WHERE s.jd GROUP BY e.dst) h "
+            f"ON kk.id = h.id)"
+        )
+    return _with(
+        ",\n".join(parts),
+        f"SELECT id, CAST(core AS BIGINT) AS core FROM k{rounds}",
+    )
