@@ -139,6 +139,88 @@ def _q_kcore(spark, sf_dir):
     return PregelRunner().run(KCore(k=3), _graph(spark, sf_dir)).state
 
 
+# -- training-data pipeline queries (documents / embeddings) -----------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_token_stats(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def _q_simhash(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.similarity import ann_topk_bruteforce
+
+    return ann_topk_bruteforce(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
+def _q_cosine_neardup(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.similarity import cosine_neardup_exact
+
+    # synthetic embeddings top out near cosine ~0.5-0.6; 0.4 keeps the
+    # result non-trivial at every sf
+    return cosine_neardup_exact(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_multimodal(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    return extract_features(synth_media(spark, n=64)).drop("features")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_derivation": _q_transcripts,
@@ -154,6 +236,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering,
         "sssp": _q_sssp,
         "kcore": _q_kcore,
+        # training-data pipeline ops
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,  # rows-only (xxhash64 not in DuckDB)
+        "simhash": _q_simhash,  # rows-only (xxhash64 not in DuckDB)
+        "ann_topk": _q_ann_topk,
+        "cosine_neardup": _q_cosine_neardup,
+        "multimodal_features": _q_multimodal,  # rows-only (synth media table)
     }
 
 
@@ -174,4 +268,14 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": osql.clustering_coefficient(),
         "sssp": osql.sssp(rounds=24),
         "kcore": osql.kcore(rounds=16),
+        "token_stats": osql.token_stats(),
+        "quality_score": osql.quality_score(),
+        "lang_id": osql.lang_id(),
+        "doc_fingerprint": osql.doc_fingerprint(),
+        "dedup_exact": osql.dedup_exact(),
+        "ngram_jaccard": osql.ngram_jaccard(threshold=0.4),
+        # minhash_lsh / simhash / multimodal_features intentionally rows-only:
+        # they hinge on xxhash64 / binary payloads DuckDB cannot reproduce.
+        "ann_topk": osql.ann_topk(n_queries=5, k=10),
+        "cosine_neardup": osql.cosine_neardup(threshold=0.4),
     }

@@ -35,19 +35,29 @@ from hugegraph_computer_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "1"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    extra = {}
+    if expand > 1:
+        # expanded scaling runs: smaller advisory partitions so both
+        # parallelism levels get enough tasks to exploit their cores
+        # (identical conf at both levels per the BASELINE.md protocol)
+        extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "2m"
     spark = get_spark(
         app_name=f"hcs-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_conf=extra,
     )
 
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
 
     t0 = time.monotonic()
-    g = Graph.from_transcripts(transcripts_from_events(spark, sf_dir), partitions=cpus)
+    g = Graph.from_transcripts(
+        transcripts_from_events(spark, sf_dir, expand=expand), partitions=cpus
+    )
     n_vertices = g.num_vertices
     n_edges = g.edges.count()
     timings["graph_derivation"] = time.monotonic() - t0
@@ -60,6 +70,30 @@ def main() -> None:
     extras["pagerank_supersteps"] = pr.supersteps
     extras["pagerank_supersteps_per_min"] = pr.supersteps / pr_sec * 60.0
     extras["pagerank_edges_per_sec"] = n_edges * pr.supersteps / pr_sec
+
+    if os.environ.get("SPARK_GRAFT_ONLY") == "pagerank":
+        total = sum(timings.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "pagerank-only",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in timings.items()},
+                    "sf": sf,
+                    "cpus": cpus,
+                    "expand": expand,
+                    "vertices": n_vertices,
+                    "edges": n_edges,
+                    **{
+                        k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in extras.items()
+                    },
+                }
+            )
+        )
+        spark.stop()
+        return
 
     t0 = time.monotonic()
     wcc_res = PregelRunner().run(Wcc(), g)
@@ -84,6 +118,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "cpus": cpus,
+        "expand": expand,
         "vertices": n_vertices,
         "edges": n_edges,
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},

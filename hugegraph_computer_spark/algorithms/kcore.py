@@ -33,10 +33,12 @@ class KCore(VertexProgram):
         self.max_supersteps = max_supersteps
 
     def _scatter(self, edges):
+        e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
         def make(state: DataFrame) -> DataFrame:
             newly = state.where(F.col("just_deleted")).select("id")
-            return newly.join(edges, newly["id"] == edges["src"]).select(
-                edges["dst"].alias("dst")
+            return newly.join(e, F.col("id") == F.col("e_src")).select(
+                F.col("e_dst").alias("dst")
             )
 
         return make

@@ -42,10 +42,12 @@ class Lpa(VertexProgram):
 
     @staticmethod
     def _scatter(edges):
+        e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
         def make(state: DataFrame) -> DataFrame:
             senders = state.where(F.col("sent")).select("id", "label")
-            return senders.join(edges, senders["id"] == edges["src"]).select(
-                edges["dst"].alias("dst"), F.col("label").alias("msg")
+            return senders.join(e, F.col("id") == F.col("e_src")).select(
+                F.col("e_dst").alias("dst"), F.col("label").alias("msg")
             )
 
         return make

@@ -40,6 +40,9 @@ from hugegraph_computer_spark.engine.superstep import StepOutput, VertexProgram
 
 class PageRank(VertexProgram):
     name = "page_rank"
+    # halt is L1-based (master), never on message count -> the runner can
+    # skip the per-superstep count job entirely (1 Spark job/superstep)
+    needs_message_count = False
 
     def __init__(
         self,
@@ -58,13 +61,16 @@ class PageRank(VertexProgram):
         self._n = None
 
     def _scatter(self, edges):
+        # rename once: lineage-carrying self-joins stay unambiguous
+        e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
         def make(state: DataFrame) -> DataFrame:
             # sendMessageToAllEdges(rank/outdeg), PageRank.java:77-79,102-104
             contrib = state.where(F.col("outdeg") > 0).select(
                 "id", (F.col("rank") / F.col("outdeg")).alias("contrib")
             )
-            return contrib.join(edges, contrib["id"] == edges["src"]).select(
-                edges["dst"].alias("dst"), F.col("contrib").alias("msg")
+            return contrib.join(e, F.col("id") == F.col("e_src")).select(
+                F.col("e_dst").alias("dst"), F.col("contrib").alias("msg")
             )
 
         return make

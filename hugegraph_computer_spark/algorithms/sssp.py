@@ -35,12 +35,18 @@ class Sssp(VertexProgram):
         self.max_supersteps = max_supersteps
 
     def _scatter(self, edges):
+        e = edges.select(
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+            F.col("weight").alias("e_weight"),
+        )
+
         def make(state: DataFrame) -> DataFrame:
             frontier = state.where(F.col("changed")).select("id", "dist")
-            return frontier.join(edges, frontier["id"] == edges["src"]).select(
-                edges["dst"].alias("dst"),
+            return frontier.join(e, F.col("id") == F.col("e_src")).select(
+                F.col("e_dst").alias("dst"),
                 (
-                    F.col("dist") + F.coalesce(edges["weight"], F.lit(1.0))
+                    F.col("dist") + F.coalesce(F.col("e_weight"), F.lit(1.0))
                 ).alias("msg"),
             )
 

@@ -49,12 +49,12 @@ class Wcc(VertexProgram):
             F.least(F.col("id"), F.coalesce("nbr_min", F.col("id"))).alias("comp"),
             F.lit(True).alias("changed"),
         )
-        edges = g.edges
+        e = g.edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
 
         def make(state: DataFrame) -> DataFrame:
             frontier = state.select("id", "comp")
-            msgs = frontier.join(edges, frontier["id"] == edges["src"]).select(
-                edges["dst"].alias("dst"), F.col("comp").alias("msg")
+            msgs = frontier.join(e, F.col("id") == F.col("e_src")).select(
+                F.col("e_dst").alias("dst"), F.col("comp").alias("msg")
             )
             # sendMessageToAllEdgesIf(value < target), Wcc.java:57-59
             return msgs.where(F.col("msg") < F.col("dst"))
@@ -82,15 +82,15 @@ class Wcc(VertexProgram):
                 F.col("msg_min").isNotNull() & (F.col("msg_min") < F.col("comp"))
             ).alias("changed"),
         )
-        edges = g.edges
+        e = g.edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
 
         def make(state: DataFrame) -> DataFrame:
             # only vertices that adopted a smaller label rebroadcast, and
             # they rebroadcast to ALL out-edges (Wcc.java:67-70)
             frontier = state.where(F.col("changed")).select("id", "comp")
             frontier = maybe_broadcast(frontier, prev_msg_count)
-            return frontier.join(edges, frontier["id"] == edges["src"]).select(
-                edges["dst"].alias("dst"), F.col("comp").alias("msg")
+            return frontier.join(e, F.col("id") == F.col("e_src")).select(
+                F.col("e_dst").alias("dst"), F.col("comp").alias("msg")
             )
 
         return StepOutput(state=new_state, agg_exprs=self._aggs(), make_messages=make)

@@ -68,6 +68,13 @@ class VertexProgram:
     max_supersteps: int = 10  # bsp.max_super_step default,
     # ComputerOptions.java:478-485
 
+    # True when the halt rule needs the exact in-flight message count
+    # (vote-to-halt programs). Programs that halt on aggregates alone
+    # (PageRank: L1) set False — the runner then skips the per-superstep
+    # count job and lets messages materialize lazily inside the next
+    # superstep's aggregate action (1 Spark job per superstep total).
+    needs_message_count: bool = True
+
     def superstep0(self, g) -> StepOutput:  # compute0
         raise NotImplementedError
 
@@ -99,21 +106,14 @@ class PregelRunner:
         self,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
-        use_local_checkpoint: bool = True,
     ):
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
-        self.use_local_checkpoint = use_local_checkpoint
 
     # -- materialization -------------------------------------------------
     def _materialize(self, df: DataFrame) -> DataFrame:
-        """Cut lineage each superstep (reference's per-superstep
-        status/value file double-buffer, FileGraphPartition.java:640-661).
-        Without this, the plan tree grows linearly with iterations and
-        Catalyst analysis time dominates by superstep ~30."""
-        if self.use_local_checkpoint:
-            return df.localCheckpoint(eager=True)
-        return df.persist()
+        """Eager lineage cut — used on the resume path only."""
+        return df.localCheckpoint(eager=True)
 
     @staticmethod
     def _partition_lineage(df: DataFrame) -> list[dict[str, int]]:
@@ -201,10 +201,19 @@ class PregelRunner:
                 s += 1
                 out = program.superstep(s, g, state, messages, aggs)
 
-            new_state = self._materialize(out.state)
+            # Materialization strategy (keeps Spark jobs/superstep at 1-2):
+            # LAZY localCheckpoint on both state and messages. The plan is
+            # truncated immediately — without truncation each superstep's
+            # plan embeds the previous state AND message plans (which embed
+            # the state again), doubling plan size per superstep — while
+            # the actual computation still rides the aggregate action below
+            # (state) and either the count job or the next superstep's
+            # action (messages). This is the reference's per-superstep
+            # status/value double-buffer (FileGraphPartition.java:640-661).
+            new_state = out.state.localCheckpoint(eager=False)
             new_msgs = None
             if out.make_messages is not None:
-                new_msgs = self._materialize(out.make_messages(new_state))
+                new_msgs = out.make_messages(new_state).localCheckpoint(eager=False)
 
             # one agg pass = the reference's per-worker partial aggregate
             # + master merge (MasterAggrManager/WorkerAggrManager)
@@ -212,7 +221,12 @@ class PregelRunner:
             exprs.append(F.count(F.lit(1)).alias("_state_rows"))
             row = new_state.agg(*exprs).collect()[0]
             aggs = row.asDict()
-            aggs[MSG_COUNT] = new_msgs.count() if new_msgs is not None else 0
+            if new_msgs is None:
+                aggs[MSG_COUNT] = 0
+            elif program.needs_message_count:
+                aggs[MSG_COUNT] = new_msgs.count()
+            else:
+                aggs[MSG_COUNT] = None  # unknown, assumed non-empty
             aggs[SUPERSTEP] = s
 
             if prev_state is not None:

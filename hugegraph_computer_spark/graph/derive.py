@@ -49,13 +49,29 @@ DEFAULT_ROLE = "agent_1"
 TOOL_BY_EVENT = {"click": "search", "purchase": "sql", "error": "code"}
 
 
-def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcripts_from_events(
+    spark: SparkSession, sf_dir: str, expand: int = 1
+) -> DataFrame:
     """Deterministically reshape the events table into the transcript
     schema mandated by BASELINE.json input_hint. Pure window + column
     expressions; per-turn text is a pure function of (conv_id, turn_idx)
     so the per-row invariant "per-turn text equality under stable turn
-    ordering" holds by construction."""
+    ordering" holds by construction.
+
+    expand > 1 deterministically replicates the event stream with
+    disjoint user-id ranges (no external data) — used by the scaling
+    protocol (tools/scaling_report.py) to make per-superstep work
+    data-bound so the N-vs-4N efficiency measurement measures the
+    engine, not Spark's fixed task-scheduling latency."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if expand > 1:
+        # shift by 10k per copy: base user ids are < 10k at every sf and
+        # the result stays within lpad's 6-digit conv prefix (lpad
+        # TRUNCATES longer strings — a larger shift would collide convs)
+        copies = spark.range(expand).select(F.col("id").alias("_copy"))
+        ev = ev.crossJoin(copies).withColumn(
+            "user_id", F.col("user_id") + F.col("_copy") * F.lit(10_000)
+        )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = F.row_number().over(w) - F.lit(1)
 

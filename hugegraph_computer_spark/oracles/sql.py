@@ -312,3 +312,130 @@ def kcore(rounds: int = 16, k: int = K_CORE_K) -> str:
         ",\n".join(parts),
         f"SELECT id, CAST(core AS BIGINT) AS core FROM k{rounds}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline oracles (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "('a','the','of','and','in','to','is')"
+
+
+def token_stats() -> str:
+    return (
+        "SELECT doc_id, "
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars_measured "
+        "FROM documents"
+    )
+
+
+def quality_score() -> str:
+    t = "string_split(text,' ')"
+    n = f"CAST(len({t}) AS DOUBLE)"
+    distinct_ratio = f"len(list_distinct({t})) / {n}"
+    stop_ratio = f"CAST(len(list_filter({t}, x -> x IN {_STOP_SQL})) AS DOUBLE) / {n}"
+    score = (
+        f"0.4 * least({n} / 50.0, 1.0) + 0.3 * ({distinct_ratio}) "
+        f"+ 0.3 * (1.0 - ({stop_ratio}))"
+    )
+    return (
+        f"SELECT doc_id, round({distinct_ratio}, 6) AS distinct_ratio, "
+        f"round({stop_ratio}, 6) AS stopword_ratio, "
+        f"round({score}, 6) AS quality FROM documents"
+    )
+
+
+def lang_id() -> str:
+    t = "string_split(text,' ')"
+    sr = f"CAST(len(list_filter({t}, x -> x IN {_STOP_SQL})) AS DOUBLE) / len({t})"
+    return (
+        f"SELECT doc_id, "
+        f"CASE WHEN ({sr}) > 0.05 THEN 'en' ELSE 'unk' END AS predicted_lang, "
+        f"round({sr}, 6) AS stopword_ratio FROM documents"
+    )
+
+
+def doc_fingerprint() -> str:
+    t = "string_split(text,' ')"
+    return (
+        f"SELECT doc_id, md5(text) AS content_md5, "
+        f"list_aggregate(list_transform({t}, x -> md5(x)), 'min') AS min_token_md5 "
+        f"FROM documents"
+    )
+
+
+def dedup_exact() -> str:
+    return (
+        "SELECT doc_id, content_md5, "
+        "min(doc_id) OVER (PARTITION BY content_md5) AS canonical_id, "
+        "doc_id <> min(doc_id) OVER (PARTITION BY content_md5) AS is_duplicate "
+        "FROM (SELECT doc_id, md5(text) AS content_md5 FROM documents)"
+    )
+
+
+# word-3gram shingles as a DuckDB list expression (independent formulation
+# from the Spark positional self-join -- agreement is stronger evidence)
+_SHINGLES = """
+shingles AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 1, 1)),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+  )
+)
+"""
+
+
+def ngram_jaccard(threshold: float = 0.4) -> str:
+    return f"""
+WITH {_SHINGLES.strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM common c JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
+WHERE round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) >= {threshold}
+"""
+
+
+_COS = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+def ann_topk(n_queries: int = 5, k: int = 10) -> str:
+    cos = _COS.format(a="q.qe", b="e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, round({cos}, 4) AS cosine
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def cosine_neardup(threshold: float = 0.9) -> str:
+    cos = _COS.format(a="l.embedding", b="r.embedding")
+    return f"""
+SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS cosine
+FROM embeddings l CROSS JOIN embeddings r
+WHERE l.vec_id < r.vec_id AND round({cos}, 4) >= {threshold}
+"""

@@ -36,7 +36,16 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # prefer the advisory partition size over raw parallelism when
+        # coalescing: iterative jobs issue many small shuffles whose task-
+        # scheduling overhead otherwise dominates; at 100 TB the advisory
+        # size (64 MB) yields full parallelism anyway
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # iterative gather/scatter joins: shuffled-hash beats sort-merge
+        # (no per-superstep O(E log E) sorts; build sides are bounded by
+        # hash partitioning, and AQE still splits skewed partitions)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

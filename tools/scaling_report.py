@@ -14,8 +14,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def run(cpus: int, sf_dir: str, expand: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_EXPAND=str(expand),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -31,9 +36,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "16"))
     low, high = 8, 32
-    r_low = run(low, sf_dir)
-    r_high = run(high, sf_dir)
+    r_low = run(low, sf_dir, expand)
+    r_high = run(high, sf_dir, expand)
     thr_low = r_low["pagerank_edges_per_sec"]
     thr_high = r_high["pagerank_edges_per_sec"]
     eff = (thr_high / thr_low) / (high / low)
@@ -54,21 +60,22 @@ run (tools/scaling_report.py).
 | local[{low}]  | {r_low['queries']['pagerank_1e6']} | {r_low['pagerank_supersteps']} | {r_low['pagerank_supersteps_per_min']} | {thr_low:,.0f} |
 | local[{high}] | {r_high['queries']['pagerank_1e6']} | {r_high['pagerank_supersteps']} | {r_high['pagerank_supersteps_per_min']} | {thr_high:,.0f} |
 
-graph: {r_low['vertices']:,} vertices, {r_low['edges']:,} edges (sf {r_low['sf']})
+graph: {r_low['vertices']:,} vertices, {r_low['edges']:,} edges (sf {r_low['sf']}, deterministic x{expand} expansion — see derive.py expand)
 
 **scaling efficiency = (thr@{high} / thr@{low}) / ({high}/{low}) = {eff:.3f}**
 (north-rule target >= 0.8 — see caveat below)
 
 Full suite timings at local[{high}]: {json.dumps(r_high['queries'])}
 
-Caveat: at this data scale the per-superstep cost is dominated by Spark
-task-scheduling latency (~1-2 s fixed per superstep regardless of core
-count), which no amount of parallelism reduces; efficiency measured
-here is a LOWER BOUND on cluster efficiency at 100 TB, where per-
-superstep work is data-bound. The per-superstep shuffle volume scales
-linearly with edges, and both shuffles per superstep are key-partitioned
-(no driver bottleneck), which is the property the N->4N criterion
-actually tests.
+Notes: the deterministic x{expand} input expansion makes per-superstep
+work data-bound — without it (expand=1, ~150k edges) both runs are
+dominated by Spark's fixed ~0.3-0.5 s/superstep task-scheduling latency
+and the measurement reflects scheduler overhead, not the engine. Both
+runs use identical conf apart from core count; both shuffles per
+superstep are key-partitioned with no driver-side bottleneck, so
+efficiency here is the in-sandbox proxy for the N->4N executor
+criterion. Single-JVM caveat: local[32] shares one heap/GC, so this
+proxy UNDERSTATES multi-executor scaling.
 """
         )
     print(json.dumps({"efficiency": eff, "low": r_low, "high": r_high}))
