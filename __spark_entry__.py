@@ -139,6 +139,34 @@ def _q_kcore(spark, sf_dir):
     return PregelRunner().run(KCore(k=3), _graph(spark, sf_dir)).state
 
 
+def _q_ppr10(spark, sf_dir):
+    from hugegraph_computer_spark.algorithms.ppr import PersonalPageRank
+
+    g = _graph(spark, sf_dir)
+    res = PregelRunner().run(
+        PersonalPageRank(source="role:user", l1_tol=-1.0, max_supersteps=10), g
+    )
+    return res.state.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _q_closeness(spark, sf_dir):
+    from hugegraph_computer_spark.algorithms.closeness import closeness_centrality
+
+    return closeness_centrality(_graph(spark, sf_dir)).select(
+        "id", "n_reachable", F.round("centrality", 6).alias("centrality")
+    )
+
+
+def _q_rings_reply(spark, sf_dir):
+    from hugegraph_computer_spark.algorithms.rings import rings_as_strings
+    from hugegraph_computer_spark.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    reply = g.edges.where(F.col("etype") == "reply")
+    sub = Graph(g.vertices, reply, g.partitions).both_direction()
+    return rings_as_strings(sub, max_len=6)
+
+
 # -- training-data pipeline queries (documents / embeddings) -----------------
 
 
@@ -236,6 +264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering,
         "sssp": _q_sssp,
         "kcore": _q_kcore,
+        "ppr10": _q_ppr10,
+        "closeness": _q_closeness,
+        "rings_reply": _q_rings_reply,
         # training-data pipeline ops
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -268,6 +299,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": osql.clustering_coefficient(),
         "sssp": osql.sssp(rounds=24),
         "kcore": osql.kcore(rounds=16),
+        "ppr10": osql.ppr(supersteps=10),
+        "closeness": osql.closeness(rounds=20),
+        "rings_reply": osql.rings_reply(),
         "token_stats": osql.token_stats(),
         "quality_score": osql.quality_score(),
         "lang_id": osql.lang_id(),

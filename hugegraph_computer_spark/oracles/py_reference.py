@@ -186,3 +186,127 @@ def kcore(
                 alive.discard(v)
                 newly.append(v)
     return core
+
+
+def ppr(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    source: str,
+    alpha: float = 0.85,
+    max_supersteps: int = 10,
+    l1_tol: float = 1e-5,
+    reference_faithful: bool = False,
+) -> dict[str, float]:
+    """PersonalPageRank.java:96-144 semantics, recipients-ever-awake set,
+    cumulative normalization over computing vertices only."""
+    out: dict[str, list[str]] = defaultdict(list)
+    for s_, d in edges:
+        out[s_].append(d)
+    rank = {v: (1.0 if v == source else 0.0) for v in nodes}
+    cum = sum(rank.values())  # aggregated by every vertex in compute0
+    awake = {source} if out[source] else set()
+    msgs: dict[str, float] = defaultdict(float)
+    if out[source]:
+        c = rank[source] / len(out[source])
+        for d in out[source]:
+            msgs[d] += c
+    s = 0
+    while True:
+        if s >= max_supersteps - 1:
+            break
+        if s > 1:
+            l1_now = 0.0 if reference_faithful else l1  # noqa: F821
+            if l1_now <= l1_tol:
+                break
+        s += 1
+        computes = awake | set(msgs)
+        new_rank = dict(rank)
+        new_cum = 0.0
+        l1 = 0.0
+        for v in computes:
+            r = msgs.get(v, 0.0) * alpha + (1 - alpha) * (1.0 if v == source else 0.0)
+            r /= cum
+            l1 += abs(rank[v] - r)
+            new_rank[v] = r
+            new_cum += r
+        rank = new_rank
+        cum = new_cum
+        awake = computes
+        msgs = defaultdict(float)
+        for v in computes:
+            if out[v]:
+                c = rank[v] / len(out[v])
+                for d in out[v]:
+                    msgs[d] += c
+    return rank
+
+
+def closeness(
+    nodes: list[str], edges: list[tuple[str, str, float]]
+) -> dict[str, tuple[int, float]]:
+    """Min in-distance maps + C(v)=sum(1/d) (ClosenessCentrality.java +
+    ClosenessCentralityOutput.java:50-56). Fixpoint via relaxation."""
+    out: dict[str, list[tuple[str, float]]] = defaultdict(list)
+    for s_, d, w in edges:
+        out[s_].append((d, w))
+    dist: dict[tuple[str, str], float] = {}
+    frontier = set()
+    for u in nodes:
+        for d, w in out[u]:
+            if d == u:
+                continue
+            key = (d, u)
+            if key not in dist or w < dist[key]:
+                dist[key] = w
+                frontier.add(key)
+    while frontier:
+        nxt = set()
+        for (v, start) in frontier:
+            base = dist[(v, start)]
+            for d, w in out[v]:
+                if d == start or d == v:
+                    continue
+                key = (d, start)
+                nd = base + w
+                if key not in dist or nd < dist[key]:
+                    dist[key] = nd
+                    nxt.add(key)
+        frontier = nxt
+    res: dict[str, tuple[int, float]] = {v: (0, 0.0) for v in nodes}
+    agg: dict[str, list[float]] = defaultdict(list)
+    for (v, _start), d in dist.items():
+        agg[v].append(d)
+    for v, ds in agg.items():
+        res[v] = (len(ds), sum(1.0 / d for d in ds))
+    return res
+
+
+def rings(
+    nodes: list[str], edges: list[tuple[str, str]], max_len: int = 10
+) -> set[tuple[str, ...]]:
+    """RingsDetection.java:49-118 message simulation; returns the set of
+    recorded rings as tuples [start, ..., start]."""
+    out: dict[str, list[str]] = defaultdict(list)
+    for s_, d in edges:
+        out[s_].append(d)
+    frontier: list[tuple[str, tuple[str, ...]]] = []
+    for u in nodes:
+        for d in out[u]:
+            if u <= d:
+                frontier.append((d, (u,)))
+    found: set[tuple[str, ...]] = set()
+    hops = 1
+    while hops < max_len and frontier:
+        hops += 1
+        nxt = []
+        for dst, path in frontier:
+            if dst == path[0]:
+                if all(dst <= p for p in path[1:]):
+                    found.add(path + (dst,))
+            elif dst not in path:
+                newp = path + (dst,)
+                for t in out[dst]:
+                    if path[0] <= t:
+                        nxt.append((t, newp))
+        frontier = nxt
+    return found

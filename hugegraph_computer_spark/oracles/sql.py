@@ -439,3 +439,88 @@ SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS cosine
 FROM embeddings l CROSS JOIN embeddings r
 WHERE l.vec_id < r.vec_id AND round({cos}, 4) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# PPR / closeness / rings oracles
+# ---------------------------------------------------------------------------
+
+PPR_SOURCE = "role:user"
+
+
+def ppr(supersteps: int = 10, alpha: float = 0.85, source: str = PPR_SOURCE) -> str:
+    """Unrolled PersonalPageRank.java:96-144: recipients-ever-awake set,
+    per-superstep cumulative normalization over computing vertices."""
+    src = f"'{source}'"
+    parts = [
+        f"p0 AS MATERIALIZED (SELECT id, outdeg, "
+        f"CASE WHEN id = {src} THEN 1.0 ELSE 0.0 END AS rank, "
+        f"id = {src} AND outdeg > 0 AS awake, TRUE AS computed FROM outdeg)",
+    ]
+    for r in range(supersteps - 1):
+        parts.append(
+            f"pc{r} AS MATERIALIZED (SELECT sum(CASE WHEN computed THEN rank ELSE 0.0 END) AS c FROM p{r})"
+        )
+        parts.append(
+            f"pm{r} AS MATERIALIZED (SELECT e.dst AS id, sum(s.rank / s.outdeg) AS m "
+            f"FROM p{r} s JOIN edges e ON s.id = e.src "
+            f"WHERE s.computed AND s.outdeg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f"p{r + 1} AS MATERIALIZED (SELECT p.id, p.outdeg, "
+            f"CASE WHEN p.awake OR m.m IS NOT NULL THEN "
+            f"(coalesce(m.m, 0.0) * {alpha!r} + {1.0 - alpha!r} * "
+            f"(CASE WHEN p.id = {src} THEN 1.0 ELSE 0.0 END)) / c.c "
+            f"ELSE p.rank END AS rank, "
+            f"p.awake OR m.m IS NOT NULL AS awake, "
+            f"p.awake OR m.m IS NOT NULL AS computed "
+            f"FROM p{r} p CROSS JOIN pc{r} c LEFT JOIN pm{r} m ON p.id = m.id)"
+        )
+    return _with(
+        ",\n".join(parts),
+        f"SELECT id, round(rank, 9) AS rank FROM p{supersteps - 1}",
+    )
+
+
+def closeness(rounds: int = 20) -> str:
+    """Unrolled (vertex, start) min-distance relaxation; centrality =
+    sum(1/d) (ClosenessCentralityOutput.java:50-56)."""
+    parts = [
+        "c0 AS MATERIALIZED (SELECT dst AS id, src AS start, "
+        "min(coalesce(weight, 1.0)) AS dist FROM edges WHERE src <> dst "
+        "GROUP BY dst, src)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"c{r + 1} AS MATERIALIZED (SELECT id, start, min(dist) AS dist FROM ("
+            f"SELECT id, start, dist FROM c{r} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, s.start, s.dist + coalesce(e.weight, 1.0) AS dist "
+            f"FROM c{r} s JOIN edges e ON s.id = e.src "
+            f"WHERE e.dst <> s.start AND e.dst <> s.id"
+            f") GROUP BY id, start)"
+        )
+    return _with(
+        ",\n".join(parts),
+        f"SELECT n.id, CAST(coalesce(cnt, 0) AS BIGINT) AS n_reachable, "
+        f"round(coalesce(cent, 0.0), 6) AS centrality "
+        f"FROM nodes n LEFT JOIN (SELECT id, count(*) AS cnt, sum(1.0 / dist) AS cent "
+        f"FROM c{rounds} GROUP BY id) c ON n.id = c.id",
+    )
+
+
+def rings_reply() -> str:
+    """Rings over the reply+mirror subgraph: the bidirectional chains'
+    only cycles are 2-cycles (revisit check forbids longer), one per
+    undirected reply edge, anchored and recorded at the min endpoint
+    (RingsDetection.java:76-92)."""
+    extra = """
+reply_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE etype = 'reply'
+)
+"""
+    return _with(
+        extra.strip(),
+        "SELECT a AS start, a || '->' || b || '->' || a AS ring FROM reply_und",
+    )
