@@ -167,6 +167,48 @@ def _q_rings_reply(spark, sf_dir):
     return rings_as_strings(sub, max_len=6)
 
 
+def _q_betweenness(spark, sf_dir):
+    from hugegraph_computer_spark.algorithms.betweenness import (
+        betweenness_centrality,
+    )
+
+    return betweenness_centrality(_graph(spark, sf_dir)).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+def _q_links_reply(spark, sf_dir):
+    from hugegraph_computer_spark.algorithms.links import links_as_strings
+
+    g = _graph(spark, sf_dir)
+    # end = turn nodes that mention a tool; start = first turns (#00)
+    ends = g.edges.where(F.col("etype") == "mention").select("src").distinct()
+    verts = g.vertices.join(
+        ends.withColumnRenamed("src", "id").withColumn("_e", F.lit(True)),
+        "id",
+        "left",
+    )
+    from hugegraph_computer_spark.graph import Graph
+
+    g2 = Graph(verts.select("id", "_e"), g.edges, g.partitions, None)
+    return links_as_strings(
+        g2,
+        start=F.col("id").like("%#00"),
+        end=F.coalesce(F.col("_e"), F.lit(False)),
+        edge_filter=F.col("etype") == "reply",
+        max_rounds=16,
+    )
+
+
+def _q_subgraph_wedge(spark, sf_dir):
+    from hugegraph_computer_spark.algorithms.subgraph import subgraph_match
+
+    return subgraph_match(
+        _graph(spark, sf_dir),
+        [("a", "b", "reply"), ("a", "t", "mention"), ("b", "t", "mention")],
+    )
+
+
 # -- training-data pipeline queries (documents / embeddings) -----------------
 
 
@@ -267,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr10": _q_ppr10,
         "closeness": _q_closeness,
         "rings_reply": _q_rings_reply,
+        "betweenness": _q_betweenness,
+        "links_reply": _q_links_reply,
+        "subgraph_wedge": _q_subgraph_wedge,
         # training-data pipeline ops
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -302,6 +347,9 @@ def oracle_sql() -> dict[str, str]:
         "ppr10": osql.ppr(supersteps=10),
         "closeness": osql.closeness(rounds=20),
         "rings_reply": osql.rings_reply(),
+        "betweenness": osql.betweenness(rounds=20),
+        "links_reply": osql.links_reply(),
+        "subgraph_wedge": osql.subgraph_wedge(),
         "token_stats": osql.token_stats(),
         "quality_score": osql.quality_score(),
         "lang_id": osql.lang_id(),

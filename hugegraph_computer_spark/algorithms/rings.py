@@ -27,11 +27,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def rings_detection(g, max_len: int = 10) -> DataFrame:
+def rings_detection(g, max_len: int = 10, edge_filter=None) -> DataFrame:
     """Returns (start, ring: array<string>) — every directed cycle whose
-    minimum vertex is `start`, as the rotation [start, ..., start]."""
+    minimum vertex is `start`, as the rotation [start, ..., start].
+
+    edge_filter (optional boolean Column over edge rows) is the
+    RingsDetectionWithFilter variant (reference A13,
+    .../path/rings/filter/RingsDetectionWithFilter.java): the
+    reference's aviator spread-expressions become Spark Column
+    predicates applied to the spread edges."""
     spark = g.vertices.sparkSession
-    e = g.edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    edges = g.edges if edge_filter is None else g.edges.where(edge_filter)
+    e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
 
     # superstep 0: path=[src] to targets >= src (RingsDetection.java:60-66)
     frontier = (

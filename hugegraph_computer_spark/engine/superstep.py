@@ -201,19 +201,26 @@ class PregelRunner:
                 s += 1
                 out = program.superstep(s, g, state, messages, aggs)
 
-            # Materialization strategy (keeps Spark jobs/superstep at 1-2):
-            # LAZY localCheckpoint on both state and messages. The plan is
-            # truncated immediately — without truncation each superstep's
-            # plan embeds the previous state AND message plans (which embed
-            # the state again), doubling plan size per superstep — while
-            # the actual computation still rides the aggregate action below
-            # (state) and either the count job or the next superstep's
-            # action (messages). This is the reference's per-superstep
-            # status/value double-buffer (FileGraphPartition.java:640-661).
+            # Materialization strategy (keeps Spark jobs/superstep at 1-2
+            # and cached bytes at ~1 state copy):
+            # - state: LAZY localCheckpoint. The plan is truncated
+            #   immediately — without truncation each superstep's plan
+            #   embeds the previous state AND message plans (which embed
+            #   the state again), doubling plan size per superstep — while
+            #   the computation rides the aggregate action below. This is
+            #   the reference's per-superstep status/value double-buffer
+            #   (FileGraphPartition.java:640-661).
+            # - messages: checkpointed ONLY when the halt rule needs their
+            #   count. Otherwise they stay lazy: consumed exactly once by
+            #   the next superstep's job (their plan roots at the
+            #   checkpointed state, so no lineage growth), and never cached
+            #   — halving per-superstep block-manager churn and GC.
             new_state = out.state.localCheckpoint(eager=False)
             new_msgs = None
             if out.make_messages is not None:
-                new_msgs = out.make_messages(new_state).localCheckpoint(eager=False)
+                new_msgs = out.make_messages(new_state)
+                if program.needs_message_count:
+                    new_msgs = new_msgs.localCheckpoint(eager=False)
 
             # one agg pass = the reference's per-worker partial aggregate
             # + master merge (MasterAggrManager/WorkerAggrManager)
@@ -231,7 +238,7 @@ class PregelRunner:
 
             if prev_state is not None:
                 prev_state.unpersist()
-            if prev_msgs is not None:
+            if prev_msgs is not None and program.needs_message_count:
                 prev_msgs.unpersist()
             prev_state, prev_msgs = state, messages
             state, messages = new_state, new_msgs

@@ -310,3 +310,80 @@ def rings(
                         nxt.append((t, newp))
         frontier = nxt
     return found
+
+
+def betweenness(
+    nodes: list[str], edges: list[tuple[str, str]], max_rounds: int = 32
+) -> dict[str, float]:
+    """BetweennessCentrality.java:98-219 message simulation (sample=1,
+    no storePerf cap) over distinct directed neighbor pairs."""
+    out: dict[str, list[str]] = defaultdict(list)
+    for s_, d in sorted(set(edges)):
+        out[s_].append(d)
+    bw = {v: 0.0 for v in nodes}
+    arrived: dict[str, set[str]] = {v: {v} for v in nodes}
+    frontier: list[tuple[str, tuple[str, ...]]] = [
+        (d, (u,)) for u in nodes for d in out[u]
+    ]
+    rounds = 0
+    while rounds < max_rounds and frontier:
+        rounds += 1
+        accepted: dict[str, list[tuple[str, ...]]] = defaultdict(list)
+        for dst, seq in frontier:
+            if seq[0] not in arrived[dst]:
+                accepted[dst].append(seq)
+        nxt = []
+        for dst, seqs in accepted.items():
+            per_source: dict[str, list[tuple[str, ...]]] = defaultdict(list)
+            for seq in seqs:
+                per_source[seq[0]].append(seq)
+            for source, group in per_source.items():
+                arrived[dst].add(source)
+                total = len(group)
+                counts: dict[str, int] = defaultdict(int)
+                for seq in group:
+                    for mid in seq[1:]:
+                        counts[mid] += 1
+                for mid, c in counts.items():
+                    bw[mid] += c / total
+                for seq in group:
+                    newseq = seq + (dst,)
+                    for t in out[dst]:
+                        if t not in newseq:
+                            nxt.append((t, newseq))
+        frontier = nxt
+    return bw
+
+
+def links_paths(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    starts: set[str],
+    ends: set[str],
+    max_rounds: int = 10,
+) -> set[tuple[str, ...]]:
+    """Links.java:53-105 walk semantics (vertex end-conditions only)."""
+    out: dict[str, list[str]] = defaultdict(list)
+    for s_, d in edges:
+        out[s_].append(d)
+    found: set[tuple[str, ...]] = set()
+    frontier: list[tuple[str, tuple[str, ...]]] = []
+    for v in starts:
+        if v in ends:
+            found.add((v,))
+            continue
+        for d in out[v]:
+            frontier.append((d, (v,)))
+    rounds = 0
+    while rounds < max_rounds and frontier:
+        rounds += 1
+        nxt = []
+        for dst, path in frontier:
+            newp = path + (dst,)
+            if dst in ends:
+                found.add(newp)
+                continue
+            for t in out[dst]:
+                nxt.append((t, newp))
+        frontier = nxt
+    return found

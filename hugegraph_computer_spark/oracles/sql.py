@@ -524,3 +524,81 @@ reply_und AS (
         extra.strip(),
         "SELECT a AS start, a || '->' || b || '->' || a AS ring FROM reply_und",
     )
+
+
+def betweenness(rounds: int = 20) -> str:
+    """Brandes identity over hop-shortest paths: sigma via unrolled BFS
+    with path counts, then sum of sigma_s(v)*sigma_v(t)/sigma_s(t) —
+    value-equivalent to the reference's accepted-sequence vote protocol
+    (BetweennessCentrality.java:154-191) with sample_rate=1."""
+    parts = [
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "f1 AS MATERIALIZED (SELECT src AS s, dst AS v, 1 AS dist, "
+        "CAST(1 AS BIGINT) AS sigma FROM de WHERE src <> dst)",
+        "r1 AS MATERIALIZED (SELECT * FROM f1)",
+    ]
+    for r in range(1, rounds):
+        parts.append(
+            f"f{r + 1} AS MATERIALIZED ("
+            f"SELECT f.s, e.dst AS v, {r + 1} AS dist, sum(f.sigma) AS sigma "
+            f"FROM f{r} f JOIN de e ON f.v = e.src "
+            f"LEFT JOIN r{r} seen ON seen.s = f.s AND seen.v = e.dst "
+            f"WHERE seen.s IS NULL AND e.dst <> f.s "
+            f"GROUP BY f.s, e.dst)"
+        )
+        parts.append(
+            f"r{r + 1} AS MATERIALIZED ("
+            f"SELECT * FROM r{r} UNION ALL SELECT * FROM f{r + 1})"
+        )
+    parts.append(
+        f"bw AS (SELECT sv.v AS id, "
+        f"sum(CAST(sv.sigma * vt.sigma AS DOUBLE) / st.sigma) AS b "
+        f"FROM r{rounds} sv "
+        f"JOIN r{rounds} vt ON vt.s = sv.v "
+        f"JOIN r{rounds} st ON st.s = sv.s AND st.v = vt.v "
+        f"AND st.dist = sv.dist + vt.dist "
+        f"GROUP BY sv.v)"
+    )
+    return _with(
+        ",\n".join(parts),
+        "SELECT n.id, round(coalesce(bw.b, 0.0), 6) AS betweenness "
+        "FROM nodes n LEFT JOIN bw ON n.id = bw.id",
+    )
+
+
+def links_reply() -> str:
+    """Links walk from conversation-first turns along reply edges until
+    the first tool-using turn (vertex end condition): on chains the
+    recorded path per conversation is turns 0..first-tool-turn."""
+    extra = """
+firsttool AS (
+  SELECT conv_id, min(turn_idx) AS ft FROM turns
+  WHERE tool IS NOT NULL GROUP BY conv_id
+)
+"""
+    node_expr = "conv_id || '#' || lpad(CAST(ft AS VARCHAR), 2, '0')"
+    path_expr = (
+        "array_to_string(list_transform(range(0, ft + 1), "
+        "i -> conv_id || '#' || lpad(CAST(i AS VARCHAR), 2, '0')), '->')"
+    )
+    return _with(
+        extra.strip(),
+        f"SELECT {node_expr} AS id, {path_expr} AS path FROM firsttool",
+    )
+
+
+def subgraph_wedge() -> str:
+    """Typed-edge wedge pattern: consecutive turns a-reply->b both
+    mentioning the same tool t (the reference's SubGraphMatch as a
+    3-way join)."""
+    extra = """
+rp AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE etype = 'reply'),
+m1 AS (SELECT DISTINCT src AS a, dst AS t FROM edges WHERE etype = 'mention'),
+m2 AS (SELECT DISTINCT src AS b, dst AS t FROM edges WHERE etype = 'mention')
+"""
+    return _with(
+        extra.strip(),
+        "SELECT DISTINCT rp.a, rp.b, m1.t FROM rp "
+        "JOIN m1 ON rp.a = m1.a JOIN m2 ON rp.b = m2.b AND m1.t = m2.t "
+        "WHERE rp.a <> rp.b AND rp.a <> m1.t AND rp.b <> m1.t",
+    )
