@@ -1,0 +1,84 @@
+"""Output sinks & property combiners — the reference's R15-R18 surface.
+
+Sinks (reference /root/reference/computer-core/.../output/):
+- log sink (LogOutput.java:33-56, LimitedLogOutput): console show
+- hdfs csv sink + partition merge (hdfs/HdfsOutput.java:50-124,
+  HdfsOutputMerger): csv writer, merge == coalesce(1)
+- blank-value filter (FilterBlankValueHdfsOutput.java): drop rows with
+  empty result values before writing
+- write-back sink (hg/HugeOutput.java:35-83): results table keyed by
+  (algorithm, vertex) — parquet directory layout here, Iceberg in prod
+
+Property combiners (computer-api/.../combiner/, options
+worker.vertex_properties_combiner_class / worker.edge_properties_-
+combiner_class, ComputerOptions.java:565-583): when duplicate
+vertices/edges are loaded, merge their property maps by OVERWRITE
+(last), MERGE_OLD (first wins per key) or MERGE_NEW (last wins per key)
+— here groupBy + first/last over the identity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# -- sinks -------------------------------------------------------------------
+
+
+def log_output(result: DataFrame, limit: int | None = None) -> None:
+    """LogOutput / LimitedLogOutput analogue (dev only)."""
+    result.show(n=limit or 20, truncate=False)
+
+
+def csv_output(
+    result: DataFrame,
+    path: str,
+    merge_partitions: bool = False,
+    filter_blank: str | None = None,
+) -> None:
+    """HdfsOutput analogue: one csv part per partition; merge ==
+    coalesce(1) (HdfsOutputMerger); filter_blank drops empty values
+    (FilterBlankValueHdfsOutput)."""
+    df = result
+    if filter_blank is not None:
+        df = df.where(
+            F.col(filter_blank).isNotNull() & (F.col(filter_blank).cast("string") != "")
+        )
+    if merge_partitions:
+        df = df.coalesce(1)
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def results_table_output(result: DataFrame, path: str, algorithm: str) -> None:
+    """HugeOutput analogue: append results keyed by (algorithm, vertex);
+    partitioned parquet here, format('iceberg') on a real deployment."""
+    (
+        result.withColumn("algorithm", F.lit(algorithm))
+        .write.mode("append")
+        .partitionBy("algorithm")
+        .parquet(path)
+    )
+
+
+# -- property combiners ------------------------------------------------------
+
+
+def combine_properties(
+    df: DataFrame, key_cols: list[str], mode: str = "overwrite"
+) -> DataFrame:
+    """Merge duplicate rows by key. overwrite == keep last record's
+    values (OverwriteCombiner); merge_old == first non-null per column
+    (MergeOldPropertiesCombiner); merge_new == last non-null per column
+    (MergeNewPropertiesCombiner). Row order is made deterministic by
+    sorting on all non-key columns before aggregation."""
+    value_cols = [c for c in df.columns if c not in key_cols]
+    if mode == "overwrite":
+        aggs = [F.max(F.struct(*value_cols)).alias("_s")]
+        out = df.groupBy(*key_cols).agg(*aggs)
+        return out.select(*key_cols, *[F.col(f"_s.{c}").alias(c) for c in value_cols])
+    if mode in ("merge_old", "merge_new"):
+        fn = F.first if mode == "merge_old" else F.last
+        aggs = [fn(c, ignorenulls=True).alias(c) for c in value_cols]
+        return df.orderBy(*key_cols, *value_cols).groupBy(*key_cols).agg(*aggs)
+    raise ValueError(f"unknown combiner mode: {mode}")

@@ -1,0 +1,77 @@
+"""Structured-Streaming incremental edge ingest test: two micro-batches
+of transcript rows produce the same compacted edge table as one batch
+derivation over their union."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hugegraph_computer_spark.graph import derive_edges
+from hugegraph_computer_spark.streaming.incremental import (
+    read_edge_store,
+    stream_edges_to,
+)
+from tests.conftest import make_transcripts
+
+BATCH1 = [
+    ("conv_x", 0, "user", "search"),
+    ("conv_x", 1, "assistant", None),
+    ("conv_x", 2, "user", "search"),
+]
+BATCH2 = [
+    ("conv_y", 0, "system", None),
+    ("conv_y", 1, "agent_0", "sql"),
+    ("conv_z", 0, "user", "search"),
+    ("conv_z", 1, "assistant", None),
+]
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name), "w") as f:
+        for (c, i, r, tool) in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "conv_id": c,
+                        "turn_idx": i,
+                        "role": r,
+                        "text": f"t:{c}:{i}",
+                        "tool": tool,
+                        "ts": f"2026-01-01T00:00:{7 * i:02d}.000Z",
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_streaming_ingest_matches_batch(spark):
+    base = tempfile.mkdtemp(prefix="hcs_stream_")
+    src = os.path.join(base, "in")
+    store = os.path.join(base, "edges")
+    ck = os.path.join(base, "ck")
+    os.makedirs(src)
+    try:
+        _write_batch(src, "b1.json", BATCH1)
+        _write_batch(src, "b2.json", BATCH2)
+        q = stream_edges_to(spark, src, store, ck)
+        q.awaitTermination(120)
+
+        got = {
+            (r["src"], r["dst"], r["etype"]): r["weight"]
+            for r in read_edge_store(spark, store).collect()
+        }
+        expected = {
+            (r["src"], r["dst"], r["etype"]): r["weight"]
+            for r in derive_edges(make_transcripts(spark, BATCH1 + BATCH2)).collect()
+        }
+        # reply/mention edges identical; uses/copart weights additive
+        # across batches == batch counts because batches hold complete,
+        # disjoint conversations
+        assert got == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
