@@ -56,18 +56,28 @@ def main():
         if only and name not in only:
             continue
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        cols = sorted(df.columns)
-        srows = [r.asDict() for r in df.collect()]
+        try:
+            df = fn(spark, sf_dir)
+            cols = sorted(df.columns)
+            srows = [r.asDict() for r in df.collect()]
+        except Exception as e:  # keep checking the rest
+            print(f"{name:28s} ERROR {type(e).__name__}: {str(e)[:160]}")
+            failures += 1
+            continue
         t_spark = time.monotonic() - t0
         if name not in oq:
             print(f"{name:28s} rows={len(srows):7d} spark={t_spark:6.1f}s (rows-only, no oracle)")
             continue
         t0 = time.monotonic()
-        rel = con.sql(oq[name])
-        ocols = sorted(rel.columns)
-        idx = {c: rel.columns.index(c) for c in rel.columns}
-        orows_raw = rel.fetchall()
+        try:
+            rel = con.sql(oq[name])
+            ocols = sorted(rel.columns)
+            idx = {c: rel.columns.index(c) for c in rel.columns}
+            orows_raw = rel.fetchall()
+        except Exception as e:
+            print(f"{name:28s} ORACLE-ERROR {type(e).__name__}: {str(e)[:160]}")
+            failures += 1
+            continue
         t_duck = time.monotonic() - t0
         status = []
         if cols != ocols:
