@@ -97,6 +97,17 @@ def _q_pagerank10(spark, sf_dir):
     )
 
 
+def _q_pagerank10_csr(spark, sf_dir):
+    from hugegraph_computer_spark.engine.csr import pagerank_csr
+
+    g = _graph(spark, sf_dir)
+    n = g.num_vertices
+    state, _steps = pagerank_csr(g, l1_tol=0.0, max_supersteps=10, num_blocks=16)
+    return state.select(
+        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
+    )
+
+
 def _q_pagerank_converged(spark, sf_dir):
     g = _graph(spark, sf_dir)
     res = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=100), g)
@@ -299,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_centrality": _q_degree,
         "degree_weighted": _q_degree_weighted,
         "pagerank10": _q_pagerank10,
+        "pagerank10_csr": _q_pagerank10_csr,  # CSR-block gather variant
         "pagerank_converged": _q_pagerank_converged,  # rows-only (dynamic halt)
         "wcc": _q_wcc,
         "lpa10": _q_lpa10,
@@ -335,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_centrality": osql.degree_centrality(),
         "degree_weighted": osql.degree_weighted(),
         "pagerank10": osql.pagerank(supersteps=10),
+        "pagerank10_csr": osql.pagerank(supersteps=10),
         # pagerank_converged intentionally omitted: dynamic L1 halt is not
         # expressible as fixed SQL; correctness is pytest-gated vs the
         # pure-Python reference oracle (tests/test_algorithms.py).
