@@ -293,6 +293,12 @@ def _q_cosine_neardup(spark, sf_dir):
     return cosine_neardup_exact(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_random_walks(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.walks import random_walks
+
+    return random_walks(_graph(spark, sf_dir), walk_len=6)
+
+
 def _q_multimodal(spark, sf_dir):
     from hugegraph_computer_spark.pipeline.multimodal import (
         extract_features,
@@ -335,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,  # rows-only (xxhash64 not in DuckDB)
         "ann_topk": _q_ann_topk,
         "cosine_neardup": _q_cosine_neardup,
+        "random_walks": _q_random_walks,
         "multimodal_features": _q_multimodal,  # rows-only (synth media table)
     }
 
@@ -373,4 +380,5 @@ def oracle_sql() -> dict[str, str]:
         # they hinge on xxhash64 / binary payloads DuckDB cannot reproduce.
         "ann_topk": osql.ann_topk(n_queries=5, k=10),
         "cosine_neardup": osql.cosine_neardup(threshold=0.4),
+        "random_walks": osql.random_walks(walk_len=6),
     }

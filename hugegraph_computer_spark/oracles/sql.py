@@ -602,3 +602,27 @@ m2 AS (SELECT DISTINCT src AS b, dst AS t FROM edges WHERE etype = 'mention')
         "JOIN m1 ON rp.a = m1.a JOIN m2 ON rp.b = m2.b AND m1.t = m2.t "
         "WHERE rp.a <> rp.b AND rp.a <> m1.t AND rp.b <> m1.t",
     )
+
+
+def random_walks(walk_len: int = 6) -> str:
+    """Deterministic hash-driven walks mirroring pipeline/walks.py:
+    step t follows out-edge index md5int(cur || ':t') % outdeg."""
+    md5int = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    parts = [
+        "eidx AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg "
+        "FROM (SELECT DISTINCT src, dst FROM edges))",
+        "wk0 AS MATERIALIZED (SELECT id AS start, id AS cur FROM nodes)",
+    ]
+    for t in range(1, walk_len):
+        pick = md5int.format(x=f"w.cur || ':{t}'")
+        parts.append(
+            f"wk{t} AS MATERIALIZED (SELECT w.start, e.dst AS cur "
+            f"FROM wk{t - 1} w JOIN eidx e ON w.cur = e.src "
+            f"AND e.idx = {pick} % e.deg)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, {t} AS step, cur AS node FROM wk{t}" for t in range(walk_len)
+    )
+    return _with(",\n".join(parts), selects)

@@ -1,0 +1,62 @@
+"""Deterministic random walks — training-data generation for graph
+embeddings (DeepWalk/node2vec-style corpora) at 100 TB scale.
+
+Pseudo-randomness is a hash, not an RNG: at step t a walker at vertex v
+follows out-edge index md5int(v + ':' + t) % outdeg(v) over the
+distinct (src, dst) edge list ordered by dst. Fully deterministic →
+reproducible corpora, resumable mid-generation, and mirrorable in ANSI
+SQL for the correctness gate (md5 is the portable hash: Spark
+conv(substr(md5, 1, 15), 16, 10) == DuckDB ('0x' || substr)::BIGINT).
+
+Each step is one equi-join of the walker frontier with the indexed edge
+list — hash-partitioned on the current vertex, no per-row Python, AQE
+skew-split on hub vertices. Walkers at sinks stop (shorter walks kept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5int(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def indexed_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst, idx, deg) over the distinct directed edge list,
+    idx dense 0..deg-1 in dst order."""
+    de = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    return de.select(
+        "src",
+        "dst",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    )
+
+
+def random_walks(g, walk_len: int = 6) -> DataFrame:
+    """One walk per vertex: returns (start, step, node) rows,
+    step 0 = the start vertex itself."""
+    # renamed columns: the frontier re-joins this table every step, so
+    # unprefixed names would be ambiguous self-join references
+    eidx = indexed_edges(g.edges).select(
+        F.col("src").alias("e_src"),
+        F.col("dst").alias("e_dst"),
+        F.col("idx").alias("e_idx"),
+        F.col("deg").alias("e_deg"),
+    )
+    frontier = g.vertices.select(F.col("id").alias("start"), F.col("id").alias("cur"))
+    out = frontier.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    for t in range(1, walk_len):
+        pick = _md5int(F.concat(F.col("cur"), F.lit(f":{t}"))) % F.col("e_deg")
+        frontier = (
+            frontier.join(eidx, F.col("cur") == F.col("e_src"))
+            .where(F.col("e_idx") == pick)
+            .select("start", F.col("e_dst").alias("cur"))
+        )
+        out = out.unionByName(
+            frontier.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+    return out
