@@ -115,3 +115,32 @@ def test_rings_with_filter(spark):
     filt = (F.col("src") != "d") & (F.col("dst") != "d")
     got = {tuple(r["ring"]) for r in rings_detection(g, 10, edge_filter=filt).collect()}
     assert got == {("a", "b", "c", "a")}
+
+
+def test_betweenness_brandes_matches_flooding(spark, sf_graph):
+    from hugegraph_computer_spark.algorithms.betweenness import (
+        betweenness_brandes,
+    )
+
+    flood = {
+        r["id"]: r["betweenness"] for r in betweenness_centrality(sf_graph).collect()
+    }
+    brandes = {
+        r["id"]: r["betweenness"] for r in betweenness_brandes(sf_graph).collect()
+    }
+    assert flood.keys() == brandes.keys()
+    worst = max(abs(flood[v] - brandes[v]) for v in flood)
+    assert worst < 1e-6, worst
+
+
+def test_betweenness_brandes_on_cycles(spark):
+    from hugegraph_computer_spark.algorithms.betweenness import (
+        betweenness_brandes,
+    )
+
+    g = graph_from_edges(spark, CYCLIC_EDGES)
+    nodes = [r["id"] for r in g.vertices.collect()]
+    expected = oracle.betweenness(nodes, CYCLIC_EDGES)
+    got = {r["id"]: r["betweenness"] for r in betweenness_brandes(g).collect()}
+    for v in expected:
+        assert abs(got[v] - expected[v]) < 1e-9, v
