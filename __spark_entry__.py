@@ -296,7 +296,7 @@ def _q_cosine_neardup(spark, sf_dir):
 def _q_random_walks(spark, sf_dir):
     from hugegraph_computer_spark.pipeline.walks import random_walks
 
-    return random_walks(_graph(spark, sf_dir), walk_len=6)
+    return random_walks(_graph(spark, sf_dir), walk_len=6, walks_per_node=2)
 
 
 def _q_multimodal(spark, sf_dir):
@@ -380,5 +380,5 @@ def oracle_sql() -> dict[str, str]:
         # they hinge on xxhash64 / binary payloads DuckDB cannot reproduce.
         "ann_topk": osql.ann_topk(n_queries=5, k=10),
         "cosine_neardup": osql.cosine_neardup(threshold=0.4),
-        "random_walks": osql.random_walks(walk_len=6),
+        "random_walks": osql.random_walks(walk_len=6, walks_per_node=2),
     }

@@ -604,25 +604,29 @@ m2 AS (SELECT DISTINCT src AS b, dst AS t FROM edges WHERE etype = 'mention')
     )
 
 
-def random_walks(walk_len: int = 6) -> str:
+def random_walks(walk_len: int = 6, walks_per_node: int = 1) -> str:
     """Deterministic hash-driven walks mirroring pipeline/walks.py:
-    step t follows out-edge index md5int(cur || ':t') % outdeg."""
+    step t follows out-edge index md5int(cur || ':' || walk || ':t')
+    % outdeg; `walk` is the per-start salt index."""
     md5int = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
     parts = [
         "eidx AS MATERIALIZED (SELECT src, dst, "
         "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
         "count(*) OVER (PARTITION BY src) AS deg "
         "FROM (SELECT DISTINCT src, dst FROM edges))",
-        "wk0 AS MATERIALIZED (SELECT id AS start, id AS cur FROM nodes)",
+        f"wk0 AS MATERIALIZED (SELECT id AS start, "
+        f"CAST(unnest(range(0, {walks_per_node})) AS INTEGER) AS walk, "
+        f"id AS cur FROM nodes)",
     ]
     for t in range(1, walk_len):
-        pick = md5int.format(x=f"w.cur || ':{t}'")
+        pick = md5int.format(x=f"w.cur || ':' || CAST(w.walk AS VARCHAR) || ':{t}'")
         parts.append(
-            f"wk{t} AS MATERIALIZED (SELECT w.start, e.dst AS cur "
+            f"wk{t} AS MATERIALIZED (SELECT w.start, w.walk, e.dst AS cur "
             f"FROM wk{t - 1} w JOIN eidx e ON w.cur = e.src "
             f"AND e.idx = {pick} % e.deg)"
         )
     selects = " UNION ALL ".join(
-        f"SELECT start, {t} AS step, cur AS node FROM wk{t}" for t in range(walk_len)
+        f"SELECT start, walk, {t} AS step, cur AS node FROM wk{t}"
+        for t in range(walk_len)
     )
     return _with(",\n".join(parts), selects)

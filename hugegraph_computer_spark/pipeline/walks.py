@@ -36,9 +36,10 @@ def indexed_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def random_walks(g, walk_len: int = 6) -> DataFrame:
-    """One walk per vertex: returns (start, step, node) rows,
-    step 0 = the start vertex itself."""
+def random_walks(g, walk_len: int = 6, walks_per_node: int = 1) -> DataFrame:
+    """walks_per_node walks per vertex: returns (start, walk, step, node)
+    rows, step 0 = the start vertex itself; `walk` is the per-start walk
+    index, salted into the hash so walks diverge deterministically."""
     # renamed columns: the frontier re-joins this table every step, so
     # unprefixed names would be ambiguous self-join references
     eidx = indexed_edges(g.edges).select(
@@ -47,16 +48,31 @@ def random_walks(g, walk_len: int = 6) -> DataFrame:
         F.col("idx").alias("e_idx"),
         F.col("deg").alias("e_deg"),
     )
-    frontier = g.vertices.select(F.col("id").alias("start"), F.col("id").alias("cur"))
-    out = frontier.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    spark = g.vertices.sparkSession
+    salts = spark.range(walks_per_node).select(F.col("id").cast("int").alias("walk"))
+    frontier = g.vertices.crossJoin(salts).select(
+        F.col("id").alias("start"), "walk", F.col("id").alias("cur")
+    )
+    out = frontier.select(
+        "start", "walk", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
     for t in range(1, walk_len):
-        pick = _md5int(F.concat(F.col("cur"), F.lit(f":{t}"))) % F.col("e_deg")
+        pick = (
+            _md5int(
+                F.concat(
+                    F.col("cur"), F.lit(":"), F.col("walk").cast("string"), F.lit(f":{t}")
+                )
+            )
+            % F.col("e_deg")
+        )
         frontier = (
             frontier.join(eidx, F.col("cur") == F.col("e_src"))
             .where(F.col("e_idx") == pick)
-            .select("start", F.col("e_dst").alias("cur"))
+            .select("start", "walk", F.col("e_dst").alias("cur"))
         )
         out = out.unionByName(
-            frontier.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
+            frontier.select(
+                "start", "walk", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
         )
     return out
