@@ -75,10 +75,12 @@ class PageRank(VertexProgram):
 
         return make
 
-    def superstep0(self, g) -> StepOutput:
+    def prepare(self, g) -> None:
         self._n = g.num_vertices
         if self._deg is None:
             self._deg = g.out_degrees().persist()
+
+    def superstep0(self, g) -> StepOutput:
         init = 1.0 / self._n
         state = self._deg.select(
             "id",

@@ -75,6 +75,11 @@ class VertexProgram:
     # superstep's aggregate action (1 Spark job per superstep total).
     needs_message_count: bool = True
 
+    def prepare(self, g) -> None:
+        """Called once before the loop, on BOTH fresh and resumed runs —
+        initialize instance state (graph-derived scalars, cached degree
+        tables) here, never in superstep0, or resume breaks."""
+
     def superstep0(self, g) -> StepOutput:  # compute0
         raise NotImplementedError
 
@@ -170,6 +175,7 @@ class PregelRunner:
         history: list[dict[str, Any]] = []
         t_run0 = time.monotonic()
         prev_state = prev_msgs = None
+        program.prepare(g)
 
         if resume_from:
             with open(os.path.join(resume_from, "meta.json")) as f:

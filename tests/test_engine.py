@@ -75,6 +75,26 @@ def test_checkpoint_resume_mid_run(sf_graph):
         shutil.rmtree(ckdir, ignore_errors=True)
 
 
+def test_checkpoint_resume_pagerank(sf_graph):
+    """Resume must also restore the aggregate scalars PageRank's update
+    rule depends on (cumulative/dangling from the checkpointed step)."""
+    ckdir = tempfile.mkdtemp(prefix="hcs_test_ckpr_")
+    try:
+        full = PregelRunner(checkpoint_dir=ckdir, checkpoint_every=5).run(
+            PageRank(l1_tol=1e-6, max_supersteps=100), sf_graph
+        )
+        ckpts = sorted(os.listdir(os.path.join(ckdir, "page_rank")))
+        mid = os.path.join(ckdir, "page_rank", ckpts[0])
+        resumed = PregelRunner().run(
+            PageRank(l1_tol=1e-6, max_supersteps=100), sf_graph, resume_from=mid
+        )
+        a = {x["id"]: x["rank"] for x in full.state.collect()}
+        b = {x["id"]: x["rank"] for x in resumed.state.collect()}
+        assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+    finally:
+        shutil.rmtree(ckdir, ignore_errors=True)
+
+
 def test_salted_aggregate_matches_plain(sf_graph):
     from hugegraph_computer_spark.engine.skew import salted_aggregate
 
