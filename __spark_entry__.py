@@ -179,12 +179,35 @@ def _q_rings_reply(spark, sf_dir):
 
 
 def _q_betweenness(spark, sf_dir):
+    # gated on the Brandes-identity scale path (message volume
+    # O(reachable pairs), ~40x faster than flooding on this graph);
+    # the flooding protocol stays as a pytest cross-check
     from hugegraph_computer_spark.algorithms.betweenness import (
-        betweenness_centrality,
+        betweenness_brandes,
     )
 
-    return betweenness_centrality(_graph(spark, sf_dir)).select(
+    return betweenness_brandes(_graph(spark, sf_dir)).select(
         "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+def _q_betweenness_sampled(spark, sf_dir):
+    # the 10^12-turn-scale mode: BFS only from a deterministic 10%
+    # source sample + backward dependency accumulation
+    from hugegraph_computer_spark.algorithms.betweenness import (
+        betweenness_brandes_sampled,
+    )
+
+    return betweenness_brandes_sampled(
+        _graph(spark, sf_dir), sample_rate=0.1
+    ).select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _q_closeness_sampled(spark, sf_dir):
+    from hugegraph_computer_spark.algorithms.closeness import closeness_centrality
+
+    return closeness_centrality(_graph(spark, sf_dir), sample_rate=0.1).select(
+        "id", "n_reachable", F.round("centrality", 6).alias("centrality")
     )
 
 
@@ -209,6 +232,19 @@ def _q_links_reply(spark, sf_dir):
         edge_filter=F.col("etype") == "reply",
         max_rounds=16,
     )
+
+
+def _q_louvain(spark, sf_dir):
+    # rows-only gate: Louvain is an order-dependent heuristic with no
+    # fixed-SQL form; value correctness is pytest-gated (modularity
+    # strictly improves per phase + tiny-fixture equality against a
+    # pure-Python replay of the identical deterministic rule)
+    from hugegraph_computer_spark.algorithms.louvain import louvain
+
+    # bounded phase sizes for the gate: the first rounds capture nearly
+    # all modularity gain; deeper sweeps cost ~3s/round of single-JVM
+    # fixed overhead at gate scale
+    return louvain(_graph(spark, sf_dir), max_levels=3, max_rounds_per_level=6)
 
 
 def _q_subgraph_wedge(spark, sf_dir):
@@ -286,11 +322,14 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_cosine_neardup(spark, sf_dir):
-    from hugegraph_computer_spark.pipeline.similarity import cosine_neardup_exact
-
+    # gated on the sign-bucketed scale path (candidates meet only inside
+    # matching hyperplane-sign buckets; exact cosine verified in-bucket);
+    # the all-pairs crossJoin variant stays as a pytest recall oracle.
     # synthetic embeddings top out near cosine ~0.5-0.6; 0.4 keeps the
     # result non-trivial at every sf
-    return cosine_neardup_exact(_emb(spark, sf_dir), threshold=0.4)
+    from hugegraph_computer_spark.pipeline.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4, n_planes=6)
 
 
 def _q_random_walks(spark, sf_dir):
@@ -328,8 +367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": _q_closeness,
         "rings_reply": _q_rings_reply,
         "betweenness": _q_betweenness,
+        "betweenness_sampled": _q_betweenness_sampled,
+        "closeness_sampled": _q_closeness_sampled,
         "links_reply": _q_links_reply,
         "subgraph_wedge": _q_subgraph_wedge,
+        "louvain": _q_louvain,  # rows-only (order-dependent heuristic)
         # training-data pipeline ops
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -337,8 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,  # rows-only (xxhash64 not in DuckDB)
-        "simhash": _q_simhash,  # rows-only (xxhash64 not in DuckDB)
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
         "cosine_neardup": _q_cosine_neardup,
         "random_walks": _q_random_walks,
@@ -363,11 +405,16 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": osql.triangle_count(),
         "clustering_coefficient": osql.clustering_coefficient(),
         "sssp": osql.sssp(rounds=24),
-        "kcore": osql.kcore(rounds=16),
+        # 40 unrolled peel rounds: cascades are bounded by vertex count,
+        # not diameter — 40 comfortably covers every tested sf (the Spark
+        # side converges dynamically in <10 rounds on this graph shape)
+        "kcore": osql.kcore(rounds=40),
         "ppr10": osql.ppr(supersteps=10),
         "closeness": osql.closeness(rounds=20),
         "rings_reply": osql.rings_reply(),
         "betweenness": osql.betweenness(rounds=20),
+        "betweenness_sampled": osql.betweenness(rounds=20, sample_rate=0.1),
+        "closeness_sampled": osql.closeness(rounds=20, sample_rate=0.1),
         "links_reply": osql.links_reply(),
         "subgraph_wedge": osql.subgraph_wedge(),
         "token_stats": osql.token_stats(),
@@ -376,9 +423,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": osql.doc_fingerprint(),
         "dedup_exact": osql.dedup_exact(),
         "ngram_jaccard": osql.ngram_jaccard(threshold=0.4),
-        # minhash_lsh / simhash / multimodal_features intentionally rows-only:
-        # they hinge on xxhash64 / binary payloads DuckDB cannot reproduce.
+        "minhash_lsh": osql.minhash_lsh(threshold=0.4),
+        "simhash": osql.simhash(),
+        # multimodal_features intentionally rows-only: synthetic binary
+        # payloads DuckDB cannot reproduce.
         "ann_topk": osql.ann_topk(n_queries=5, k=10),
-        "cosine_neardup": osql.cosine_neardup(threshold=0.4),
+        "cosine_neardup": osql.cosine_neardup_lsh(threshold=0.4, n_planes=6),
         "random_walks": osql.random_walks(walk_len=6, walks_per_node=2),
     }

@@ -54,13 +54,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
 
+    densify = os.environ.get("SPARK_GRAFT_DENSIFY") == "1"
+
     t0 = time.monotonic()
     g = Graph.from_transcripts(
         transcripts_from_events(spark, sf_dir, expand=expand), partitions=cpus
     )
     n_vertices = g.num_vertices
     n_edges = g.edges.count()
+    if densify:
+        # R13 fixed-length id remap at ingest: supersteps then shuffle
+        # 8-byte longs instead of ~25-char strings. One-time encode cost
+        # is part of derivation (like the reference's input remap).
+        g, _mapping = g.densify()
+        g.edges.count()
     timings["graph_derivation"] = time.monotonic() - t0
+    extras["densified"] = densify
 
     t0 = time.monotonic()
     pr = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=100), g)
@@ -70,6 +79,18 @@ def main() -> None:
     extras["pagerank_supersteps"] = pr.supersteps
     extras["pagerank_supersteps_per_min"] = pr.supersteps / pr_sec * 60.0
     extras["pagerank_edges_per_sec"] = n_edges * pr.supersteps / pr_sec
+
+    if not densify and os.environ.get("SPARK_GRAFT_ONLY") != "pagerank":
+        # A/B: the same PageRank over the long-id (densified) graph
+        t0 = time.monotonic()
+        dense, _mapping = g.densify()
+        dense.edges.count()
+        densify_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        prd = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=100), dense)
+        prd.state.count()
+        timings["pagerank_1e6_densified"] = time.monotonic() - t0
+        extras["densify_encode_sec"] = round(densify_sec, 3)
 
     if os.environ.get("SPARK_GRAFT_ONLY") == "pagerank":
         total = sum(timings.values())

@@ -29,8 +29,20 @@ exactly as the reference intends.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def source_sample_predicate(col: Column, sample_rate: float) -> Column:
+    """Deterministic source sampling: keep ids whose portable md5-long
+    hash falls below rate*1000 of the 0..999 range. The reference's
+    `sample_rate` (ClosenessCentrality.java:46-47,156-159 and
+    BetweennessCentrality.java:129-140) draws per-message randoms; a
+    HASH sample is the Spark-native equivalent — same expected volume
+    reduction, but reproducible across runs/retries and expressible in
+    the SQL oracle (md5 is engine-portable)."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(1000)) < int(round(sample_rate * 1000))
 
 
 def betweenness_centrality(g, max_rounds: int = 32) -> DataFrame:
@@ -117,7 +129,8 @@ def betweenness_brandes(g, max_rounds: int = 32) -> DataFrame:
     prefixes): on hub-sink transcript graphs this is ~40x faster than
     the flooding protocol and value-identical (verified in tests and by
     the shared SQL oracle). This is the formulation to run at 10^12-turn
-    scale (optionally from a sampled source set)."""
+    scale (for the sampled-source estimator, which BFS-restricts the
+    frontier too, see betweenness_brandes_sampled)."""
     e = g.edges.select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
     ).distinct().persist()
@@ -187,5 +200,113 @@ def betweenness_brandes(g, max_rounds: int = 32) -> DataFrame:
     )
     e.unpersist()
     return g.vertices.join(dep, g.vertices["id"] == dep["mid"], "left").select(
+        "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+
+
+def betweenness_brandes_sampled(
+    g, sample_rate: float = 1.0, max_rounds: int = 32
+) -> DataFrame:
+    """Sampled-source Brandes via backward dependency accumulation —
+    the 10^12-turn-scale mode (the reference's `sample_rate` lever,
+    BetweennessCentrality.java:129-140; ClosenessCentrality exposes the
+    same knob, :46-47).
+
+    Forward phase: BFS-with-path-counts ONLY from the deterministic
+    hash sample of sources (source_sample_predicate) — unlike the
+    triple-join identity in betweenness_brandes, BOTH the forward cost
+    and the result restrict to sampled s, so work scales linearly with
+    the sample. Backward phase: per-level dependency sweep
+    (delta_s(v) = sum over successors w on s's shortest-path DAG of
+    sigma_s(v)/sigma_s(w) * (1 + delta_s(w))), which telescopes to
+    sum over t of sigma_s(v)*sigma_v(t)/sigma_s(t) on distance-additive
+    pairs — so sample_rate=1.0 reproduces betweenness_brandes values
+    EXACTLY (pytest-asserted), and any rate matches the SQL oracle's
+    source-filtered triple join."""
+    e = g.edges.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    ).distinct().persist()
+
+    frontier = (
+        e.where(F.col("e_src") != F.col("e_dst"))
+        .where(source_sample_predicate(F.col("e_src"), sample_rate))
+        .select(
+            F.col("e_src").alias("s"),
+            F.col("e_dst").alias("v"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels: list[DataFrame] = [frontier]  # levels[d-1] = frontier at dist d
+    seen = frontier.select("s", "v").localCheckpoint(eager=True)
+    while len(levels) < max_rounds and not frontier.isEmpty():
+        nxt = (
+            frontier.join(e, frontier["v"] == e["e_src"])
+            .where(F.col("e_dst") != F.col("s"))
+            .groupBy("s", F.col("e_dst").alias("v2"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = (
+            nxt.join(
+                seen.withColumnRenamed("v", "v2").withColumn("_seen", F.lit(True)),
+                ["s", "v2"],
+                "left",
+            )
+            .where(F.col("_seen").isNull())
+            .select("s", F.col("v2").alias("v"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+        levels.append(frontier)
+        seen = seen.unionByName(frontier.select("s", "v")).localCheckpoint(eager=True)
+
+    # backward sweep: delta at the deepest level is 0; each level down
+    # gathers sigma_v/sigma_w * (1 + delta_w) from successors at d+1
+    spark = g.vertices.sparkSession
+    acc = None  # union of (v, delta) contributions across levels
+    delta = levels[-1].select(
+        "s", "v", "sigma", F.lit(0.0).alias("delta")
+    )
+    for d in range(len(levels) - 2, -1, -1):
+        succ = delta.select(
+            F.col("s").alias("w_s"),
+            F.col("v").alias("w"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("delta").alias("w_delta"),
+        )
+        cur = levels[d]
+        contrib = (
+            cur.join(e, cur["v"] == e["e_src"])
+            .join(
+                succ,
+                (cur["s"] == succ["w_s"]) & (F.col("e_dst") == succ["w"]),
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sigma").cast("double")
+                    / F.col("w_sigma")
+                    * (F.lit(1.0) + F.col("w_delta"))
+                ).alias("delta")
+            )
+        )
+        delta = (
+            cur.join(contrib, ["s", "v"], "left")
+            .select(
+                "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        part = delta.where(F.col("delta") > 0).select("v", "delta")
+        acc = part if acc is None else acc.unionByName(part)
+        acc = acc.localCheckpoint(eager=True)
+
+    e.unpersist()
+    if acc is None:
+        acc = spark.createDataFrame([], "v string, delta double")
+    bw = acc.groupBy("v").agg(F.sum("delta").alias("betweenness"))
+    return g.vertices.join(bw, g.vertices["id"] == bw["v"], "left").select(
         "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )

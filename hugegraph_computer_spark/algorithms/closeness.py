@@ -29,9 +29,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def closeness_centrality(g, max_rounds: int = 64) -> DataFrame:
+def closeness_centrality(
+    g, max_rounds: int = 64, sample_rate: float | None = None
+) -> DataFrame:
     """Returns (id, n_reachable, centrality) for every vertex;
-    centrality = 0.0 for vertices nothing reaches."""
+    centrality = 0.0 for vertices nothing reaches.
+
+    sample_rate: the reference's sampling lever
+    (ClosenessCentrality.java:46-47,156-159) — restrict the START set to
+    the deterministic md5-hash sample (source_sample_predicate), so the
+    per-(vertex, start) state is linear in the sampled-start count.
+    At 10^12-turn scale full closeness floods V^2 pairs; the sampled
+    estimator is how this runs there (centrality sums 1/d over sampled
+    starts only — an unbiased 1/rate-scalable estimate)."""
+    from hugegraph_computer_spark.algorithms.betweenness import (
+        source_sample_predicate,
+    )
+
     e = g.edges.select(
         F.col("src").alias("e_src"),
         F.col("dst").alias("e_dst"),
@@ -44,6 +58,10 @@ def closeness_centrality(g, max_rounds: int = 64) -> DataFrame:
         F.col("e_src").alias("start"),
         F.col("w").alias("dist"),
     ).where(F.col("id") != F.col("start"))
+    if sample_rate is not None:
+        frontier = frontier.where(
+            source_sample_predicate(F.col("start"), sample_rate)
+        )
     frontier = (
         frontier.groupBy("id", "start").agg(F.min("dist").alias("dist"))
     ).localCheckpoint(eager=True)

@@ -37,6 +37,9 @@ def rings_detection(g, max_len: int = 10, edge_filter=None) -> DataFrame:
     reference's aviator spread-expressions become Spark Column
     predicates applied to the spread edges."""
     spark = g.vertices.sparkSession
+    from hugegraph_computer_spark.functions import predicate
+
+    edge_filter = predicate(edge_filter)  # config strings compile via F.expr
     edges = g.edges if edge_filter is None else g.edges.where(edge_filter)
     e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
 

@@ -70,15 +70,30 @@ def combine_properties(
     """Merge duplicate rows by key. overwrite == keep last record's
     values (OverwriteCombiner); merge_old == first non-null per column
     (MergeOldPropertiesCombiner); merge_new == last non-null per column
-    (MergeNewPropertiesCombiner). Row order is made deterministic by
-    sorting on all non-key columns before aggregation."""
+    (MergeNewPropertiesCombiner).
+
+    "First/last" is defined by the full-row (all value columns) sort
+    order, enforced INSIDE the aggregate: per column we collect
+    (order_key, value) structs for non-null values and pick the
+    array_sort min/max — deterministic on any partitioning (Spark hash
+    aggregation does NOT preserve a prior orderBy, so first/last over a
+    sorted input would be partition-order-dependent)."""
     value_cols = [c for c in df.columns if c not in key_cols]
     if mode == "overwrite":
         aggs = [F.max(F.struct(*value_cols)).alias("_s")]
         out = df.groupBy(*key_cols).agg(*aggs)
         return out.select(*key_cols, *[F.col(f"_s.{c}").alias(c) for c in value_cols])
     if mode in ("merge_old", "merge_new"):
-        fn = F.first if mode == "merge_old" else F.last
-        aggs = [fn(c, ignorenulls=True).alias(c) for c in value_cols]
-        return df.orderBy(*key_cols, *value_cols).groupBy(*key_cols).agg(*aggs)
+        order_key = F.struct(*[F.col(c) for c in value_cols])
+        pos = 1 if mode == "merge_old" else -1
+        aggs = []
+        for c in value_cols:
+            pairs = F.when(
+                F.col(c).isNotNull(),
+                F.struct(order_key.alias("o"), F.col(c).alias("v")),
+            )
+            aggs.append(
+                F.element_at(F.array_sort(F.collect_list(pairs)), pos)["v"].alias(c)
+            )
+        return df.groupBy(*key_cols).agg(*aggs)
     raise ValueError(f"unknown combiner mode: {mode}")

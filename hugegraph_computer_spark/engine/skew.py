@@ -37,9 +37,10 @@ def salted_aggregate(
     """Two-stage aggregate: groupBy(key, salt) -> groupBy(key).
 
     `merge` must re-reduce the partials: sum->sum, min->min, max->max,
-    count->sum. Only valid for algebraic combiners (exactly the ones the
-    reference ships: *ValueSumCombiner, ValueMin/MaxCombiner)."""
-    merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}[merge]
+    count->sum (partial counts add). Only valid for algebraic combiners
+    (exactly the ones the reference ships: *ValueSumCombiner,
+    ValueMin/MaxCombiner)."""
+    merge_fn = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.sum}[merge]
     partial = (
         df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
         .groupBy(key, "_salt")

@@ -3,6 +3,13 @@ from hugegraph_computer_spark.graph.derive import (
     derive_edges,
     derive_nodes,
     transcripts_from_events,
+    undensify,
 )
 
-__all__ = ["Graph", "derive_edges", "derive_nodes", "transcripts_from_events"]
+__all__ = [
+    "Graph",
+    "derive_edges",
+    "derive_nodes",
+    "transcripts_from_events",
+    "undensify",
+]

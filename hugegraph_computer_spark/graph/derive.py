@@ -262,3 +262,62 @@ class Graph:
             self.partitions,
             self._nv,
         )
+
+    def edges_single_per_label(self) -> "Graph":
+        """edge_freq=SINGLE_PER_LABEL: one edge per (src, dst, label)
+        where our edge label is etype (EdgeFrequency.java:37 — SINGLE
+        collapses parallel edges entirely, SINGLE_PER_LABEL keeps one
+        per label, MULTIPLE keeps all)."""
+        return Graph(
+            self.vertices,
+            self.edges.dropDuplicates(["src", "dst", "etype"]),
+            self.partitions,
+            self._nv,
+        )
+
+    def densify(self) -> tuple["Graph", DataFrame]:
+        """R13 fixed-length id remap: dictionary-encode string vertex ids
+        to longs at ingest, decode on output — the Spark analogue of the
+        reference's fixed-length id mapping in its partition files
+        (FileGraphPartition.java:243-370, `input.fixed_length_id`
+        ComputerOptions.java:941-954). Every superstep then shuffles
+        8-byte keys instead of ~25-char strings: smaller exchange bytes,
+        cheaper hash/compare, long-keyed joins.
+
+        Returns (dense_graph, mapping(id, nid)). The mapping is built
+        with monotonically_increasing_id (unique per row, NOT dense/
+        deterministic across runs — same contract as the reference,
+        which assigns ids per input-load), persisted + materialized so
+        re-computation cannot reassign. Use `undensify(result, mapping)`
+        to restore string ids on any per-vertex result."""
+        mapping = (
+            self.vertices.select("id")
+            .withColumn("nid", F.monotonically_increasing_id())
+            .persist()
+        )
+        mapping.count()  # pin the (non-deterministic) assignment NOW
+        verts = mapping.select(F.col("nid").alias("id"))
+        m_src = mapping.select(F.col("id").alias("src"), F.col("nid").alias("_nsrc"))
+        m_dst = mapping.select(F.col("id").alias("dst"), F.col("nid").alias("_ndst"))
+        others = [c for c in self.edges.columns if c not in ("src", "dst")]
+        edges = (
+            self.edges.join(m_src, "src")
+            .join(m_dst, "dst")
+            .select(
+                F.col("_nsrc").alias("src"), F.col("_ndst").alias("dst"), *others
+            )
+        )
+        if self.partitions:
+            verts = verts.repartition(self.partitions, "id")
+            edges = edges.repartition(self.partitions, "src")
+        dense = Graph(verts.persist(), edges.persist(), self.partitions, self._nv)
+        return dense, mapping
+
+
+def undensify(result: DataFrame, mapping: DataFrame, id_col: str = "id") -> DataFrame:
+    """Decode a densified per-vertex result back to string ids."""
+    others = [c for c in result.columns if c != id_col]
+    return result.join(
+        mapping.select(F.col("nid").alias(id_col), F.col("id").alias("_sid")),
+        id_col,
+    ).select(F.col("_sid").alias(id_col), *others)

@@ -407,6 +407,84 @@ WHERE round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) >= {thresh
 """
 
 
+# portable 60-bit hash: identical to Spark's
+# conv(substr(md5(x),1,15),16,10) — used by minhash/simhash/walks oracles
+_MD5LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_lsh(
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.4
+) -> str:
+    """Mirror of pipeline/dedup.py minhash_lsh_pairs: md5-based shingle
+    hash -> fixed-seed universal-hash minima -> banded md5 buckets ->
+    candidate self-join on (band, bucket) -> exact Jaccard restricted to
+    candidates. Coefficients come from the same random.Random(42) stream
+    as the Spark side."""
+    from hugegraph_computer_spark.pipeline.dedup import minhash_coefficients
+
+    coeffs = minhash_coefficients(num_perm)
+    p = _MERSENNE
+    rows_per_band = num_perm // bands
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = []
+    for bi in range(bands):
+        slice_concat = " || ',' || ".join(
+            f"CAST(s{bi * rows_per_band + j} AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+        bucket = _MD5LONG.format(x=f"({slice_concat})")
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, {bucket} AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    h = _MD5LONG.format(x="shingle")
+    return f"""
+WITH {_SHINGLES.strip()},
+hh AS MATERIALIZED (SELECT doc_id, {h} % {p} AS h FROM shingles),
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+bandrows AS MATERIALIZED ({bands_sql}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bandrows l JOIN bandrows r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b,
+       round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM common c JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
+WHERE round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) >= {threshold}
+"""
+
+
+def simhash(bits: int = 32) -> str:
+    """Mirror of pipeline/dedup.py simhash: per-bit majority vote over
+    md5-long token hashes."""
+    h = _MD5LONG.format(x="w")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hh AS (SELECT doc_id, {h} AS h FROM tok),
+bs AS (SELECT doc_id, {bit_sums} FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bs
+"""
+
+
 _COS = (
     "list_sum(list_transform(range(1, len({a})+1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
@@ -438,6 +516,35 @@ def cosine_neardup(threshold: float = 0.9) -> str:
 SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS cosine
 FROM embeddings l CROSS JOIN embeddings r
 WHERE l.vec_id < r.vec_id AND round({cos}, 4) >= {threshold}
+"""
+
+
+def cosine_neardup_lsh(
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 6
+) -> str:
+    """Mirror of pipeline/similarity.py cosine_neardup_pairs: candidates
+    share the full random-hyperplane sign pattern (same fixed-seed
+    planes as the Spark side), exact cosine verified inside buckets."""
+    from hugegraph_computer_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in p)
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ([{lits}])[j]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    cos = _COS.format(a="l.embedding", b="r.embedding")
+    return f"""
+WITH bkt AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS cosine
+FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round({cos}, 4) >= {threshold}
 """
 
 
@@ -482,12 +589,18 @@ def ppr(supersteps: int = 10, alpha: float = 0.85, source: str = PPR_SOURCE) -> 
     )
 
 
-def closeness(rounds: int = 20) -> str:
+def closeness(rounds: int = 20, sample_rate: float | None = None) -> str:
     """Unrolled (vertex, start) min-distance relaxation; centrality =
-    sum(1/d) (ClosenessCentralityOutput.java:50-56)."""
+    sum(1/d) (ClosenessCentralityOutput.java:50-56). sample_rate
+    mirrors the Spark side's deterministic md5-hash START sample."""
+    sample_pred = ""
+    if sample_rate is not None:
+        thresh = int(round(sample_rate * 1000))
+        sample_pred = f"AND {_MD5LONG.format(x='src')} % 1000 < {thresh} "
     parts = [
         "c0 AS MATERIALIZED (SELECT dst AS id, src AS start, "
-        "min(coalesce(weight, 1.0)) AS dist FROM edges WHERE src <> dst "
+        f"min(coalesce(weight, 1.0)) AS dist FROM edges WHERE src <> dst "
+        f"{sample_pred}"
         "GROUP BY dst, src)"
     ]
     for r in range(rounds):
@@ -526,11 +639,16 @@ reply_und AS (
     )
 
 
-def betweenness(rounds: int = 20) -> str:
+def betweenness(rounds: int = 20, sample_rate: float | None = None) -> str:
     """Brandes identity over hop-shortest paths: sigma via unrolled BFS
     with path counts, then sum of sigma_s(v)*sigma_v(t)/sigma_s(t) —
     value-equivalent to the reference's accepted-sequence vote protocol
-    (BetweennessCentrality.java:154-191) with sample_rate=1."""
+    (BetweennessCentrality.java:154-191) with sample_rate=1.
+
+    sample_rate: restrict the SOURCE leg (sv/st) to the deterministic
+    md5-hash sample — mirrors algorithms/betweenness.py
+    source_sample_predicate / betweenness_brandes_sampled. The vt leg
+    stays unrestricted (sigma_v(t) ranges over all mids)."""
     parts = [
         "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
         "f1 AS MATERIALIZED (SELECT src AS s, dst AS v, 1 AS dist, "
@@ -550,6 +668,12 @@ def betweenness(rounds: int = 20) -> str:
             f"r{r + 1} AS MATERIALIZED ("
             f"SELECT * FROM r{r} UNION ALL SELECT * FROM f{r + 1})"
         )
+    sample_pred = ""
+    if sample_rate is not None:
+        thresh = int(round(sample_rate * 1000))
+        sample_pred = (
+            f"WHERE {_MD5LONG.format(x='sv.s')} % 1000 < {thresh} "
+        )
     parts.append(
         f"bw AS (SELECT sv.v AS id, "
         f"sum(CAST(sv.sigma * vt.sigma AS DOUBLE) / st.sigma) AS b "
@@ -557,6 +681,7 @@ def betweenness(rounds: int = 20) -> str:
         f"JOIN r{rounds} vt ON vt.s = sv.v "
         f"JOIN r{rounds} st ON st.s = sv.s AND st.v = vt.v "
         f"AND st.dist = sv.dist + vt.dist "
+        f"{sample_pred}"
         f"GROUP BY sv.v)"
     )
     return _with(

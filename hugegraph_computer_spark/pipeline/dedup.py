@@ -2,10 +2,17 @@
 SimHash. The scale path is always shuffle-on-key + AQE; no driver-side
 pairwise loops anywhere.
 
-At 100 TB: exact dedup is one hash-aggregate; n-gram Jaccard and
-MinHash/LSH shuffle on shingle/bucket keys (candidate generation is
-output-bounded by band width, not O(n^2)); the final verify join only
-touches candidate pairs.
+At 100 TB: exact dedup is one hash-aggregate; shingling is a pure
+projection (zero shuffles — array transform over the token array);
+n-gram Jaccard and MinHash/LSH shuffle on shingle/bucket keys
+(candidate generation is output-bounded by band width, not O(n^2));
+and the final Jaccard verify touches ONLY the candidate pairs — the
+shingle table is joined through the candidate list, never self-joined
+corpus-wide.
+
+Hashes are md5-based (portable across Spark and DuckDB via
+conv(substr(md5, 1, 15), 16, 10)) so every operator here has a
+value-level SQL oracle — no engine-specific xxhash64.
 """
 
 from __future__ import annotations
@@ -30,41 +37,88 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # -- word n-gram shingles ----------------------------------------------------
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingles(docs: DataFrame, n: int = 3, max_df: int | None = None) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
-    Built via posexplode + positional self-joins (portable to SQL)."""
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+
+    Zero-shuffle construction: tokens -> array transform over a
+    0..len-n index sequence -> array_distinct -> explode. (The previous
+    formulation — posexplode + two positional self-joins — cost three
+    shuffles for the same rows.)
+
+    max_df: optional hot-shingle cap — drop shingles whose document
+    frequency exceeds max_df BEFORE any pair join. A shingle shared by
+    k docs contributes k^2 candidate rows to the Jaccard self-join, so
+    one stopword trigram makes candidate generation quadratic; capping
+    df bounds the join output by max_df^2 per shingle. This is the
+    standard near-dup approximation (affects recall only for pairs
+    whose ONLY shared shingles are corpus-frequent — at dedup
+    thresholds >= 0.4 such pairs share many shingles, so rare-shingle
+    overlap still surfaces them). The hot set (df > max_df) is tiny by
+    construction and is removed with a broadcast anti-join.
+    """
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+        ),
     )
-    t0, t1, t2 = tok.alias("t0"), tok.alias("t1"), tok.alias("t2")
-    if n != 3:
-        raise NotImplementedError("shingle join is generated for n=3")
-    tri = (
-        t0.join(
-            t1,
-            (F.col("t0.doc_id") == F.col("t1.doc_id"))
-            & (F.col("t0.pos") + 1 == F.col("t1.pos")),
-        )
-        .join(
-            t2,
-            (F.col("t0.doc_id") == F.col("t2.doc_id"))
-            & (F.col("t0.pos") + 2 == F.col("t2.pos")),
-        )
-        .select(
-            F.col("t0.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "t0.w", "t1.w", "t2.w").alias("shingle"),
-        )
+    arr = F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
     )
-    return tri.distinct()
+    sh = docs.select("doc_id", F.explode(arr).alias("shingle"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def _jaccard_over_candidates(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle Jaccard restricted to candidate (a, b) pairs.
+
+    Two equi-joins keyed by doc id / (doc id, shingle): cost is
+    O(|cand| * shingles-per-doc), never corpus-quadratic. `cand` must
+    have columns (a, b) with a < b; `sh` is the (doc_id, shingle) table.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        cand.join(sha, "a")
+        .join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .where(F.round(jac, 6) >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.4
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
     (a, b, jaccard) with a < b. Pair generation via shingle equi-join —
-    only docs sharing at least one shingle are ever compared."""
-    sh = shingles(docs, n)
+    only docs sharing at least one (df-capped, see `shingles`) shingle
+    are ever compared."""
+    sh = shingles(docs, n, max_df=max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -93,16 +147,31 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 
 
-def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — num_perm universal-hash minima over
-    shingle hashes. Shingle base hash = xxhash64 (JVM, vectorized);
-    permutations h_i(x) = (a_i*x + b_i) mod p with fixed seeds."""
+def _md5long(col):
+    """Portable 60-bit hash: identical in Spark and DuckDB
+    (conv(substr(md5(x),1,15),16,10) == ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_coefficients(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Fixed-seed universal-hash coefficients, shared with the SQL oracle."""
     import random
 
-    rnd = random.Random(42)
-    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_perm)]
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — num_perm universal-hash minima over
+    shingle hashes. Shingle base hash = md5long % p (portable to the
+    DuckDB oracle); permutations h_i(x) = (a_i*x + b_i) mod p with fixed
+    seeds."""
+    coeffs = minhash_coefficients(num_perm)
     sh = shingles(docs, n).select(
-        "doc_id", (F.abs(F.xxhash64("shingle")) % _MERSENNE).alias("h")
+        "doc_id", (_md5long(F.col("shingle")) % _MERSENNE).alias("h")
     )
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"s{i}")
@@ -114,26 +183,20 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataF
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    num_perm: int = 32,
-    bands: int = 8,
-    threshold: float = 0.4,
-    n: int = 3,
+def minhash_band_rows(
+    sigs: DataFrame, num_perm: int = 32, bands: int = 8
 ) -> DataFrame:
-    """Banded-LSH candidate pairs verified by exact shingle Jaccard.
-    (a, b, jaccard). Band key = hash of one signature slice — candidate
-    join shuffles on (band, bucket), never all-pairs."""
+    """(doc_id, band, bucket) — band key = md5long of the comma-joined
+    signature slice (portable bucket hash)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, n)
-    band_rows = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
+                        _md5long(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -148,6 +211,23 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+    n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified by exact shingle Jaccard.
+    (a, b, jaccard). Band key = hash of one signature slice — the
+    candidate join shuffles on (band, bucket), never all-pairs, and the
+    Jaccard verify runs ONLY over the candidate pairs (joined back to
+    per-doc shingle sets), so LSH's pruning survives into the verify:
+    total cost is O(corpus shingling) + O(|candidates| * doc size)."""
+    sigs = minhash_signatures(docs, num_perm, n)
+    band_rows = minhash_band_rows(sigs, num_perm, bands)
     l, r = band_rows.alias("l"), band_rows.alias("r")
     cand = (
         l.join(
@@ -159,8 +239,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, n, threshold)
-    return cand.join(verified, ["a", "b"], "inner")
+    return _jaccard_over_candidates(cand, shingles(docs, n), threshold)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -168,10 +247,11 @@ def minhash_lsh_pairs(
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash: bigint) — per-bit majority vote over token
-    xxhash64 values, expressed as explode + groupBy sums (pure built-ins;
-    one shuffle on doc_id)."""
+    md5long hashes, expressed as explode + groupBy sums (pure built-ins;
+    one shuffle on doc_id). md5-based token hash keeps the operator
+    SQL-oracle-able (bit i of h == (h >> i) & 1 in both engines)."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = tok.select("doc_id", F.xxhash64("w").alias("h"))
+    h = tok.select("doc_id", _md5long(F.col("w")).alias("h"))
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(

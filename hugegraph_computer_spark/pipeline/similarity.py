@@ -72,6 +72,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
 def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
     """(vec_id, bucket) — sign pattern under fixed random hyperplanes,
     computed as zip_with dot products against literal arrays."""
+    if n_planes == 0:  # exhaustive single bucket (small-input audit mode)
+        return emb.select("vec_id", "embedding", F.lit(0).alias("bucket"))
     planes = _hyperplanes(dim, n_planes)
     bits = []
     for i, p in enumerate(planes):

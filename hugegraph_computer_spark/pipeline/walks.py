@@ -1,16 +1,29 @@
 """Deterministic random walks — training-data generation for graph
 embeddings (DeepWalk/node2vec-style corpora) at 100 TB scale.
 
-Pseudo-randomness is a hash, not an RNG: at step t a walker at vertex v
-follows out-edge index md5int(v + ':' + t) % outdeg(v) over the
-distinct (src, dst) edge list ordered by dst. Fully deterministic →
+Pseudo-randomness is a hash, not an RNG: at step t a walker on walk
+index `walk` at vertex v follows out-edge index
+md5int(v || ':' || walk || ':' || t) % outdeg(v) over the distinct
+(src, dst) edge list ordered by dst (the per-walk index salts the hash
+so a vertex's walks diverge deterministically). Fully deterministic →
 reproducible corpora, resumable mid-generation, and mirrorable in ANSI
 SQL for the correctness gate (md5 is the portable hash: Spark
 conv(substr(md5, 1, 15), 16, 10) == DuckDB ('0x' || substr)::BIGINT).
 
-Each step is one equi-join of the walker frontier with the indexed edge
-list — hash-partitioned on the current vertex, no per-row Python, AQE
-skew-split on hub vertices. Walkers at sinks stop (shorter walks kept).
+Each step is TWO equi-joins, both output-bounded by the walker count:
+
+  1. frontier ⋈ degree table on cur == d_src   (O(V) rows on the right)
+     → compute pick = hash % deg              (one row per walker)
+  2. frontier ⋈ indexed edges on BOTH keys (cur, pick) == (e_src, e_idx)
+     → exactly one matching edge row per walker.
+
+The two-key equi-join is the load-bearing scale property: a single-key
+join on cur == e_src followed by a filter on e_idx == pick would
+materialize deg(v) rows per walker before filtering — a degree-10^6 hub
+would shuffle 10^6 rows per walker per step. With the pick computed
+first against the O(V) degree table, the edge join's output is exactly
+|walkers| rows regardless of skew (hash partitioned on (src, idx), AQE
+skew-split on residual build-side imbalance).
 """
 
 from __future__ import annotations
@@ -45,8 +58,15 @@ def random_walks(g, walk_len: int = 6, walks_per_node: int = 1) -> DataFrame:
     eidx = indexed_edges(g.edges).select(
         F.col("src").alias("e_src"),
         F.col("dst").alias("e_dst"),
-        F.col("idx").alias("e_idx"),
+        F.col("idx").cast("long").alias("e_idx"),
         F.col("deg").alias("e_deg"),
+    )
+    # O(V)-sized degree table for phase 1 (pick computation)
+    vdeg = (
+        g.edges.select("src", "dst")
+        .distinct()
+        .groupBy(F.col("src").alias("d_src"))
+        .agg(F.count(F.lit(1)).alias("d_deg"))
     )
     spark = g.vertices.sparkSession
     salts = spark.range(walks_per_node).select(F.col("id").cast("int").alias("walk"))
@@ -63,13 +83,17 @@ def random_walks(g, walk_len: int = 6, walks_per_node: int = 1) -> DataFrame:
                     F.col("cur"), F.lit(":"), F.col("walk").cast("string"), F.lit(f":{t}")
                 )
             )
-            % F.col("e_deg")
+            % F.col("d_deg")
         )
-        frontier = (
-            frontier.join(eidx, F.col("cur") == F.col("e_src"))
-            .where(F.col("e_idx") == pick)
-            .select("start", "walk", F.col("e_dst").alias("cur"))
+        # phase 1: one row per walker — pick the out-edge index
+        picked = frontier.join(vdeg, F.col("cur") == F.col("d_src")).select(
+            "start", "walk", "cur", pick.alias("pick")
         )
+        # phase 2: two-key equi-join — exactly one edge row per walker
+        frontier = picked.join(
+            eidx,
+            (F.col("cur") == F.col("e_src")) & (F.col("pick") == F.col("e_idx")),
+        ).select("start", "walk", F.col("e_dst").alias("cur"))
         out = out.unionByName(
             frontier.select(
                 "start", "walk", F.lit(t).alias("step"), F.col("cur").alias("node")

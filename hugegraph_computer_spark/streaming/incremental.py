@@ -73,6 +73,94 @@ def stream_edges_to(
     )
 
 
+REPLY_EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+        T.StructField("etype", T.StringType(), False),
+    ]
+)
+
+_STITCH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_turn", T.IntegerType(), True),
+        T.StructField("last_node", T.StringType(), True),
+    ]
+)
+
+
+def stitch_reply_edges_stream(
+    spark: SparkSession,
+    transcripts_dir: str,
+    edge_store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Reply-edge derivation that SURVIVES conversations split across
+    micro-batches: applyInPandasWithState keyed by conv_id remembers
+    each conversation's last-seen turn node, so the edge between the
+    last turn of one batch and the first turn of the next is emitted —
+    batch-parity where the plain foreachBatch path (stream_edges_to)
+    assumes batch-complete conversations.
+
+    State per conversation is two scalars (last_turn, last_node) — at
+    100 TB-rate the state store holds O(live conversations) tiny rows,
+    checkpointed by Structured Streaming's state store (RocksDB in
+    prod). Turns are assumed to arrive in order across batches (the
+    transcript log is append-ordered per conversation); reordering
+    within one batch is handled by the sort.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    import pandas as pd
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(transcripts_dir)
+    )
+
+    def stitch(key, pdfs, state):
+        conv_id = key[0]
+        batches = [p for p in pdfs]
+        rows = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+        if rows.empty:
+            return
+        rows = rows.sort_values("turn_idx")
+        nodes = [f"{conv_id}#{int(t):02d}" for t in rows["turn_idx"]]
+        chain = ([state.get[1]] if state.exists else []) + nodes
+        state.update((int(rows["turn_idx"].iloc[-1]), nodes[-1]))
+        if len(chain) < 2:
+            return
+        yield pd.DataFrame(
+            {
+                "src": chain[:-1],
+                "dst": chain[1:],
+                "weight": 1.0,
+                "etype": "reply",
+            }
+        )
+
+    stitched = stream.groupBy("conv_id").applyInPandasWithState(
+        stitch,
+        outputStructType=REPLY_EDGE_SCHEMA,
+        stateStructType=_STITCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(edge_store_dir)
+
+    return (
+        stitched.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_edge_store(spark: SparkSession, edge_store_dir: str) -> DataFrame:
     """Compacted view of the append-only edge log: additive weights
     re-aggregated, duplicates across batches merged."""

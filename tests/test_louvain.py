@@ -1,0 +1,115 @@
+"""Louvain tests: tiny-fixture equality against a pure-Python replay of
+the identical deterministic rule, and modularity improvement per level
+on the real sf0.001 graph (the reference's Louvain is order-dependent,
+Louvain.java:54-62, so value parity is rule-replay, not Java-replay)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from hugegraph_computer_spark.algorithms.louvain import (
+    _local_move_phase,
+    _undirected_adj,
+    louvain,
+    modularity,
+)
+
+_EPS = 1e-12
+
+
+def _py_local_move(adj_rows, max_rounds):
+    """Pure-Python replay of _local_move_phase's exact rule: synchronous
+    argmax-gain moves over the round's admissible direction (even
+    rounds: smaller community labels only; odd: larger), min-community
+    tie-break, two-idle-round stop."""
+    nbrs: dict = defaultdict(dict)
+    k: dict = defaultdict(float)
+    for s, d, w in adj_rows:
+        if s == d:
+            continue
+        nbrs[s][d] = nbrs[s].get(d, 0.0) + w
+        k[s] += w
+    m2 = sum(k.values())
+    comm = {v: v for v in k}
+
+    idle = 0
+    for r in range(max_rounds):
+        tot: dict = defaultdict(float)
+        for v, c in comm.items():
+            tot[c] += k[v]
+        moves = {}
+        for v in comm:
+            w_vc: dict = defaultdict(float)
+            for u, w in nbrs[v].items():
+                w_vc[comm[u]] += w
+            c_v = comm[v]
+            w_own = w_vc.get(c_v, 0.0)
+            best_gain = best_c = None
+            for c_n in sorted(w_vc):
+                if c_n == c_v:
+                    continue
+                if (c_n < c_v) != (r % 2 == 0):  # alternating direction
+                    continue
+                gain = (w_vc[c_n] - k[v] * tot[c_n] / m2) - (
+                    w_own - k[v] * (tot[c_v] - k[v]) / m2
+                )
+                if best_gain is None or gain > best_gain:
+                    best_gain, best_c = gain, c_n
+            if best_gain is not None and best_gain > _EPS:
+                moves[v] = best_c
+        if not moves:
+            idle += 1
+            if idle >= 2:
+                break
+            continue
+        idle = 0
+        comm.update(moves)
+    return comm
+
+
+def test_local_move_matches_python_oracle(spark):
+    # two triangles bridged by one edge: the canonical Louvain fixture
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0, "t"), ("b", "c", 1.0, "t"), ("c", "a", 1.0, "t"),
+            ("d", "e", 1.0, "t"), ("e", "f", 1.0, "t"), ("f", "d", 1.0, "t"),
+            ("c", "d", 1.0, "t"),
+        ],
+        "src string, dst string, weight double, etype string",
+    )
+    adj = _undirected_adj(edges)
+    comm, moves = _local_move_phase(adj, max_rounds=8)
+    got = {r["id"]: r["c"] for r in comm.collect()}
+
+    adj_rows = [(r["src"], r["dst"], r["w"]) for r in adj.collect()]
+    want = _py_local_move(adj_rows, max_rounds=8)
+    assert got == want
+    assert moves > 0
+    # the fixture's optimum: each triangle one community
+    by_comm: dict = defaultdict(set)
+    for v, c in got.items():
+        by_comm[c].add(v)
+    assert {frozenset(s) for s in by_comm.values()} == {
+        frozenset({"a", "b", "c"}),
+        frozenset({"d", "e", "f"}),
+    }
+
+
+def test_louvain_modularity_improves_per_level(sf_graph):
+    hist: list = []
+    res = louvain(sf_graph, max_levels=3, max_rounds_per_level=6, history=hist)
+    adj = _undirected_adj(sf_graph.edges)
+    q_singletons = modularity(
+        adj,
+        adj.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("c")),
+    )
+    assert hist, "no levels ran"
+    assert hist[0]["modularity"] > q_singletons
+    for prev, nxt in zip(hist, hist[1:]):
+        assert nxt["modularity"] >= prev["modularity"] - 1e-12
+    # result covers every vertex exactly once
+    assert res.count() == sf_graph.num_vertices
+    assert res.where(F.col("community").isNull()).count() == 0

@@ -49,6 +49,59 @@ def _write_batch(d, name, rows):
             )
 
 
+SPLIT_A = [  # first half of conv_s arrives in batch 1 ...
+    ("conv_s", 0, "user", "search"),
+    ("conv_s", 1, "assistant", None),
+]
+SPLIT_B = [  # ... the rest in batch 2, plus an unrelated conversation
+    ("conv_s", 2, "user", None),
+    ("conv_s", 3, "assistant", "code"),
+    ("conv_t", 0, "user", "search"),
+    ("conv_t", 1, "assistant", None),
+]
+
+
+def test_stitching_survives_split_conversations(spark):
+    """A conversation split across micro-batches must still yield the
+    cross-batch reply edge (conv_s#01 -> conv_s#02) — the stateful
+    stitching the plain foreachBatch ingest cannot do."""
+    import os as _os
+    import time as _time
+
+    from hugegraph_computer_spark.streaming.incremental import (
+        stitch_reply_edges_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="hcs_stitch_")
+    src = _os.path.join(base, "in")
+    store = _os.path.join(base, "edges")
+    ck = _os.path.join(base, "ck")
+    _os.makedirs(src)
+    try:
+        _write_batch(src, "b1.json", SPLIT_A)
+        _write_batch(src, "b2.json", SPLIT_B)
+        now = _time.time()
+        _os.utime(_os.path.join(src, "b1.json"), (now - 60, now - 60))
+        _os.utime(_os.path.join(src, "b2.json"), (now, now))
+        q = stitch_reply_edges_stream(spark, src, store, ck)
+        q.awaitTermination(180)
+
+        got = {
+            (r["src"], r["dst"])
+            for r in spark.read.parquet(store).collect()
+        }
+        expected = {
+            (r["src"], r["dst"])
+            for r in derive_edges(make_transcripts(spark, SPLIT_A + SPLIT_B))
+            .where(F.col("etype") == "reply")
+            .collect()
+        }
+        assert got == expected
+        assert ("conv_s#01", "conv_s#02") in got  # the cross-batch edge
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_ingest_matches_batch(spark):
     base = tempfile.mkdtemp(prefix="hcs_stream_")
     src = os.path.join(base, "in")
