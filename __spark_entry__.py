@@ -178,6 +178,26 @@ def _q_rings_reply(spark, sf_dir):
     return rings_as_strings(sub, max_len=6)
 
 
+_RINGS_FILTER_SQL = "right(dst, 1) IN ('1', '3', '5')"  # odd-ending turns
+
+
+def _q_rings_filtered(spark, sf_dir):
+    # A13 RingsDetectionWithFilter: the reference compiles an aviator
+    # edge-filter string from job params (RingsDetectionWithFilter.java,
+    # ExpressionUtil.java:28-52); here the same config string compiles
+    # via F.expr and restricts the reply subgraph BEFORE mirroring
+    from hugegraph_computer_spark.algorithms.rings import rings_as_strings
+    from hugegraph_computer_spark.functions import predicate
+    from hugegraph_computer_spark.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    reply = g.edges.where(
+        (F.col("etype") == "reply") & predicate(_RINGS_FILTER_SQL)
+    )
+    sub = Graph(g.vertices, reply, g.partitions).both_direction()
+    return rings_as_strings(sub, max_len=6)
+
+
 def _q_betweenness(spark, sf_dir):
     # gated on the Brandes-identity scale path (message volume
     # O(reachable pairs), ~40x faster than flooding on this graph);
@@ -321,6 +341,12 @@ def _q_ann_topk(spark, sf_dir):
     return ann_topk_bruteforce(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    from hugegraph_computer_spark.pipeline.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(_emb(spark, sf_dir), n_queries=5, k=10, n_clusters=4)
+
+
 def _q_cosine_neardup(spark, sf_dir):
     # gated on the sign-bucketed scale path (candidates meet only inside
     # matching hyperplane-sign buckets; exact cosine verified in-bucket);
@@ -366,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr10": _q_ppr10,
         "closeness": _q_closeness,
         "rings_reply": _q_rings_reply,
+        "rings_filtered": _q_rings_filtered,  # A13: config-string edge filter
         "betweenness": _q_betweenness,
         "betweenness_sampled": _q_betweenness_sampled,
         "closeness_sampled": _q_closeness_sampled,
@@ -382,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,  # IVF-Flat scale path (nprobe=1)
         "cosine_neardup": _q_cosine_neardup,
         "random_walks": _q_random_walks,
         "multimodal_features": _q_multimodal,  # rows-only (synth media table)
@@ -412,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr10": osql.ppr(supersteps=10),
         "closeness": osql.closeness(rounds=20),
         "rings_reply": osql.rings_reply(),
+        "rings_filtered": osql.rings_reply(edge_pred=_RINGS_FILTER_SQL),
         "betweenness": osql.betweenness(rounds=20),
         "betweenness_sampled": osql.betweenness(rounds=20, sample_rate=0.1),
         "closeness_sampled": osql.closeness(rounds=20, sample_rate=0.1),
@@ -428,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features intentionally rows-only: synthetic binary
         # payloads DuckDB cannot reproduce.
         "ann_topk": osql.ann_topk(n_queries=5, k=10),
+        "ann_topk_ivf": osql.ann_topk_ivf(n_queries=5, k=10, n_clusters=4),
         "cosine_neardup": osql.cosine_neardup_lsh(threshold=0.4, n_planes=6),
         "random_walks": osql.random_walks(walk_len=6, walks_per_node=2),
     }

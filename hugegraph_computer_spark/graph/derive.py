@@ -65,12 +65,19 @@ def transcripts_from_events(
     engine, not Spark's fixed task-scheduling latency."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if expand > 1:
-        # shift by 10k per copy: base user ids are < 10k at every sf and
-        # the result stays within lpad's 6-digit conv prefix (lpad
-        # TRUNCATES longer strings — a larger shift would collide convs)
+        # replicate along the EVENT dimension (distinct event_id per
+        # copy, same users): each user gets expand x more events ->
+        # more conversations per user. This keeps every id inside its
+        # lpad width at ANY expansion (lpad TRUNCATES longer strings):
+        # conv prefix stays the base user_id (< 10k, 6 digits) and the
+        # conv index reaches base_seq x expand / 16 << 10^4 for every
+        # tested sf x expand. (A user_id shift, the previous scheme,
+        # collides conv prefixes past expand ~100.) Ordering stays
+        # deterministic: the seq window orders by (ts, event_id) and
+        # copies have distinct event_id.
         copies = spark.range(expand).select(F.col("id").alias("_copy"))
         ev = ev.crossJoin(copies).withColumn(
-            "user_id", F.col("user_id") + F.col("_copy") * F.lit(10_000)
+            "event_id", F.col("event_id") + F.col("_copy") * F.lit(1_000_000_000)
         )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = F.row_number().over(w) - F.lit(1)

@@ -510,6 +510,45 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def ann_topk_ivf(
+    n_queries: int = 5, k: int = 10, n_clusters: int = 4, dim: int = 64
+) -> str:
+    """Mirror of pipeline/similarity.py ann_topk_ivf: same fixed-seed
+    centroids, same argmax-as-CASE assignment (list_sum fold order
+    matches Spark's aggregate fold), probe = the query's own cell."""
+    from hugegraph_computer_spark.pipeline.similarity import (
+        _centroids,
+        ivf_assign_case,
+    )
+
+    dots = []
+    for c in _centroids(dim, n_clusters):
+        lits = ", ".join(repr(float(x)) for x in c)
+        dots.append(
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ([{lits}])[j]))"
+        )
+    assign = ivf_assign_case(dots) if n_clusters > 1 else "0"
+    cos = _COS.format(a="q.qe", b="e.embedding")
+    return f"""
+WITH assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, {assign} AS cluster FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, cluster FROM assigned
+      WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, round({cos}, 4) AS cosine
+  FROM q JOIN assigned e ON q.cluster = e.cluster
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def cosine_neardup(threshold: float = 0.9) -> str:
     cos = _COS.format(a="l.embedding", b="r.embedding")
     return f"""
@@ -622,15 +661,19 @@ def closeness(rounds: int = 20, sample_rate: float | None = None) -> str:
     )
 
 
-def rings_reply() -> str:
+def rings_reply(edge_pred: str | None = None) -> str:
     """Rings over the reply+mirror subgraph: the bidirectional chains'
     only cycles are 2-cycles (revisit check forbids longer), one per
     undirected reply edge, anchored and recorded at the min endpoint
-    (RingsDetection.java:76-92)."""
-    extra = """
+    (RingsDetection.java:76-92). edge_pred: optional extra SQL predicate
+    over the directed reply edges BEFORE mirroring — the A13
+    RingsDetectionWithFilter config string, applied identically on the
+    Spark side via F.expr."""
+    pred = f"AND ({edge_pred})" if edge_pred else ""
+    extra = f"""
 reply_und AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM edges WHERE etype = 'reply'
+  FROM edges WHERE etype = 'reply' {pred}
 )
 """
     return _with(

@@ -90,6 +90,91 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
     return emb.select("vec_id", "embedding", bucket.cast("int").alias("bucket"))
 
 
+def _centroids(dim: int, k: int, seed: int = 43):
+    """Deterministic pseudo-random IVF centroids (fixed seed, shared
+    with the SQL oracle)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+
+
+def _dot_literal_spark(vec: list[float]) -> str:
+    """Spark-SQL dot product of `embedding` with a literal vector —
+    a left fold in index order (matches the DuckDB oracle's list_sum
+    op order so cluster assignments agree bit-for-bit)."""
+    lits = ", ".join(repr(float(x)) + "D" for x in vec)
+    return (
+        f"aggregate(zip_with(embedding, array({lits}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def ivf_assign_case(dot_exprs: list[str]) -> str:
+    """Shared argmax-as-CASE over per-centroid dot expressions: first
+    index whose dot is >= all later ones (identical tie-break in both
+    engines because the CASE order is identical)."""
+    k = len(dot_exprs)
+    arms = []
+    for i in range(k - 1):
+        conds = " AND ".join(
+            f"({dot_exprs[i]}) >= ({dot_exprs[j]})" for j in range(i + 1, k)
+        )
+        arms.append(f"WHEN {conds} THEN {i}")
+    return "CASE " + " ".join(arms) + f" ELSE {k - 1} END"
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-Flat ANN, nprobe=1: vectors partition into `n_clusters`
+    coarse cells (argmax dot against fixed centroids); a query scans
+    ONLY its own cell. (query_id, neighbor_id, rank, cosine).
+
+    The 100 TB shape: assignment is a pure projection; the probe is an
+    equi-join on `cluster` — scan cost drops to ~1/n_clusters of the
+    corpus per query instead of the brute-force full scan, at the usual
+    IVF recall trade (neighbors in adjacent cells are missed; raise
+    n_clusters + nprobe for the real tuning curve). With n_clusters=1
+    this degrades to exact brute force (pytest-asserted)."""
+    dots = [_dot_literal_spark(c) for c in _centroids(dim, n_clusters)]
+    assigned = emb.select(
+        "vec_id", "embedding",
+        F.expr(ivf_assign_case(dots)).alias("cluster") if n_clusters > 1
+        else F.lit(0).alias("cluster"),
+    )
+    q = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cluster",
+    )
+    cand = F.broadcast(q).join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            "cluster",
+        ),
+        "cluster",
+    )
+    scored = cand.where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame, threshold: float = 0.9, dim: int = 64, n_planes: int = 6
 ) -> DataFrame:

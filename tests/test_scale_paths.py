@@ -227,6 +227,30 @@ def test_links_accepts_config_strings(sf_graph):
     assert len(a) > 0
 
 
+def test_ann_ivf_single_cluster_equals_bruteforce(spark):
+    from hugegraph_computer_spark.pipeline.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [(r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+             for r in ann_topk_bruteforce(emb, n_queries=3, k=5).collect()]
+    ivf1 = [(r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ann_topk_ivf(emb, n_queries=3, k=5, n_clusters=1).collect()]
+    assert sorted(ivf1) == sorted(exact)  # one cell -> exhaustive scan
+
+    ivf4 = ann_topk_ivf(emb, n_queries=3, k=5, n_clusters=4).collect()
+    # every reported cosine is the true cosine (verify against the
+    # brute-force scores), ranks are within-cell
+    truth = {(q, n): c for (q, n, _r, c) in exact}
+    full = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in ann_topk_bruteforce(emb, n_queries=3, k=10**6).collect()}
+    for r in ivf4:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    assert truth  # non-degenerate fixture
+
+
 def test_links_edge_recording_and_end_edge(spark):
     from hugegraph_computer_spark.algorithms.links import links_as_strings
 

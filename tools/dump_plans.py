@@ -52,6 +52,7 @@ def main() -> None:
 
     # 2. one PageRank superstep (scatter -> gather -> update -> agg)
     pr = PageRank(l1_tol=0.0, max_supersteps=3)
+    pr.prepare(g)
     out0 = pr.superstep0(g)
     st0 = out0.state.localCheckpoint(eager=True)
     msgs0 = out0.make_messages(st0)
@@ -80,6 +81,73 @@ def main() -> None:
             "reference's bespoke superedge message cache "
             "(TriangleCount.java:87-172).",
             fmt(triangle_count(g)),
+        )
+    )
+
+    # 4. random-walk step: pick against degree table, then TWO-KEY join
+    from hugegraph_computer_spark.pipeline.walks import random_walks
+
+    sections.append(
+        (
+            "Random-walk step (two-phase, hub-proof)",
+            "Phase 1 joins the walker frontier with the O(V) degree table "
+            "to compute the picked edge index; phase 2 is an equi-join on "
+            "BOTH keys (cur, pick) == (e_src, e_idx) — the join output is "
+            "one row per walker regardless of hub degree. Look for the "
+            "two-column join keys in the BuildRight/SortMergeJoin node: a "
+            "single-key join + filter would instead materialize deg(v) "
+            "rows per walker before filtering.",
+            fmt(random_walks(g, walk_len=2, walks_per_node=1)),
+        )
+    )
+
+    # 5. shingling: pure projection, zero Exchange
+    from hugegraph_computer_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sections.append(
+        (
+            "Shingling (zero-shuffle projection)",
+            "Word trigrams via transform(sequence(...)) + array_distinct + "
+            "explode over the token array: NO Exchange anywhere in the "
+            "plan — the previous posexplode + positional self-join "
+            "formulation cost three shuffles for the same rows.",
+            fmt(shingles(docs)),
+        )
+    )
+
+    # 6. MinHash-LSH: the Jaccard verify only touches candidate pairs
+    sections.append(
+        (
+            "MinHash-LSH near-dup (candidate-pairs-only verify)",
+            "Candidates come from the banded (band, bucket) self-join; the "
+            "exact-Jaccard verify joins candidates -> per-doc shingles -> "
+            "matching shingles of the other side. There is NO corpus-wide "
+            "shingle-shingle self-join below the verify aggregate — the "
+            "full-corpus pair explosion LSH exists to avoid never happens. "
+            "(num_perm/bands reduced here; plan shape is identical.)",
+            fmt(minhash_lsh_pairs(docs, num_perm=8, bands=4)),
+        )
+    )
+
+    # 7. cosine near-dup: sign-bucketed candidates (the gated path)
+    from hugegraph_computer_spark.pipeline.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sections.append(
+        (
+            "Cosine near-dup (sign-bucketed, gated path)",
+            "Candidates meet only inside matching hyperplane-sign buckets "
+            "(equi-join on `bucket`), exact cosine verified in-bucket — "
+            "no CartesianProduct/BroadcastNestedLoopJoin node anywhere. "
+            "The all-pairs crossJoin variant exists only as the pytest "
+            "recall oracle.",
+            fmt(cosine_neardup_pairs(emb, threshold=0.4, n_planes=2)),
         )
     )
 
