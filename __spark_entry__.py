@@ -160,6 +160,20 @@ def _q_ppr10(spark, sf_dir):
     return res.state.select("id", F.round("rank", 9).alias("rank"))
 
 
+def _q_ppr10_top100(spark, sf_dir):
+    # PersonalPageRankListOutput surface: TOP_N=100 entries after
+    # dropping the source and its direct out-neighbors
+    # (PersonalPageRankListOutput.java:30,52-57; RESULT_LIMIT
+    # PersonalPageRank.java:51)
+    from hugegraph_computer_spark.algorithms.ppr import PersonalPageRank, ppr_topk
+
+    g = _graph(spark, sf_dir)
+    res = PregelRunner().run(
+        PersonalPageRank(source="role:user", l1_tol=-1.0, max_supersteps=10), g
+    )
+    return ppr_topk(res.state, g, source="role:user", k=100)
+
+
 def _q_closeness(spark, sf_dir):
     from hugegraph_computer_spark.algorithms.closeness import closeness_centrality
 
@@ -276,6 +290,47 @@ def _q_subgraph_wedge(spark, sf_dir):
     )
 
 
+# the reference's query-graph JSON input surface
+# (QueryGraphDescribe.java:37-128): vertex label + property_filter
+# constraints per variable, edge label + property_filter per pattern
+# edge; filters are config strings compiled by Catalyst (the Aviator
+# analogue, ExpressionUtil.java:28-52)
+_SUBGRAPH_DESCRIBE = [
+    {
+        "id": "a",
+        "label": "turn",
+        "property_filter": "turn_idx <= 2",
+        "edges": [{"targetId": "b", "label": "reply"}],
+    },
+    {
+        "id": "b",
+        "label": "turn",
+        "edges": [
+            {"targetId": "t", "label": "mention", "property_filter": "weight >= 1.0"}
+        ],
+    },
+    {"id": "t", "label": "tool", "property_filter": "name IN ('search', 'sql')"},
+]
+
+
+def _q_subgraph_labeled(spark, sf_dir):
+    import json
+
+    from hugegraph_computer_spark.algorithms.subgraph import subgraph_match_json
+
+    return subgraph_match_json(
+        _graph(spark, sf_dir), json.dumps(_SUBGRAPH_DESCRIBE)
+    )
+
+
+def _q_degree_capped(spark, sf_dir):
+    # input.limit_edges_in_one_vertex (ComputerOptions.java:186-194):
+    # degree over the out-edge-capped graph proves the truncation lever
+    from hugegraph_computer_spark.algorithms.degree import degree_centrality
+
+    return degree_centrality(_graph(spark, sf_dir).limit_out_edges(2))
+
+
 # -- training-data pipeline queries (documents / embeddings) -----------------
 
 
@@ -390,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "kcore": _q_kcore,
         "ppr10": _q_ppr10,
+        "ppr10_top100": _q_ppr10_top100,  # RESULT_LIMIT/TOP_N output cap
         "closeness": _q_closeness,
         "rings_reply": _q_rings_reply,
         "rings_filtered": _q_rings_filtered,  # A13: config-string edge filter
@@ -398,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sampled": _q_closeness_sampled,
         "links_reply": _q_links_reply,
         "subgraph_wedge": _q_subgraph_wedge,
+        "subgraph_labeled": _q_subgraph_labeled,  # query-graph JSON + predicates
+        "degree_capped": _q_degree_capped,  # limit_edges_in_one_vertex
         "louvain": _q_louvain,  # rows-only (order-dependent heuristic)
         # training-data pipeline ops
         "token_stats": _q_token_stats,
@@ -438,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         # side converges dynamically in <10 rounds on this graph shape)
         "kcore": osql.kcore(rounds=40),
         "ppr10": osql.ppr(supersteps=10),
+        "ppr10_top100": osql.ppr_topk(supersteps=10, k=100),
         "closeness": osql.closeness(rounds=20),
         "rings_reply": osql.rings_reply(),
         "rings_filtered": osql.rings_reply(edge_pred=_RINGS_FILTER_SQL),
@@ -446,6 +505,8 @@ def oracle_sql() -> dict[str, str]:
         "closeness_sampled": osql.closeness(rounds=20, sample_rate=0.1),
         "links_reply": osql.links_reply(),
         "subgraph_wedge": osql.subgraph_wedge(),
+        "subgraph_labeled": osql.subgraph_labeled(),
+        "degree_capped": osql.degree_capped(n=2),
         "token_stats": osql.token_stats(),
         "quality_score": osql.quality_score(),
         "lang_id": osql.lang_id(),

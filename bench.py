@@ -80,17 +80,13 @@ def main() -> None:
     extras["pagerank_supersteps_per_min"] = pr.supersteps / pr_sec * 60.0
     extras["pagerank_edges_per_sec"] = n_edges * pr.supersteps / pr_sec
 
-    if not densify and os.environ.get("SPARK_GRAFT_ONLY") != "pagerank":
-        # A/B: the same PageRank over the long-id (densified) graph
-        t0 = time.monotonic()
-        dense, _mapping = g.densify()
-        dense.edges.count()
-        densify_sec = time.monotonic() - t0
-        t0 = time.monotonic()
-        prd = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=100), dense)
-        prd.state.count()
-        timings["pagerank_1e6_densified"] = time.monotonic() - t0
-        extras["densify_encode_sec"] = round(densify_sec, 3)
+    # NOTE: no in-suite densify A/B. A second PageRank against a second
+    # persisted graph in the same JVM contaminates every later query
+    # (round-2 lesson: WCC +65%, LPA +42% from the leaked dense
+    # vertices/edges/mapping caches) and the warm-JVM ordering makes the
+    # comparison itself invalid. The A/B runs as two FRESH-JVM legs via
+    # tools/densify_ab.py (SPARK_GRAFT_ONLY=pagerank x
+    # SPARK_GRAFT_DENSIFY={0,1}); results in BENCH/densify_ab.json.
 
     if os.environ.get("SPARK_GRAFT_ONLY") == "pagerank":
         total = sum(timings.values())

@@ -126,3 +126,36 @@ class PersonalPageRank(VertexProgram):
 
     def finalize(self, state: DataFrame) -> DataFrame:
         return state.select("id", "rank")
+
+
+def ppr_topk(
+    result: DataFrame,
+    g,
+    source: str,
+    k: int = 100,
+    exclude_direct: bool = True,
+    rank_decimals: int = 9,
+) -> DataFrame:
+    """PersonalPageRankListOutput analogue: the reference emits at most
+    TOP_N=100 entries (PersonalPageRankListOutput.java:30) after
+    removing the source vertex itself and its direct out-edge targets
+    (ListOutput.java:52-57); RESULT_LIMIT caps the collected map
+    upstream (PersonalPageRank.java:51).
+
+    Executed as orderBy(rank desc, id).limit(k) — Spark plans this as
+    TakeOrderedAndProject (distributed per-partition top-k + driver
+    merge of k rows), NOT a global sort, so it holds at any vertex
+    count. Ranks are rounded before ordering so the cutoff is
+    deterministic across engines (cross-engine float-sum convention of
+    oracles/sql.py)."""
+    res = result.select(
+        "id", F.round("rank", rank_decimals).alias("rank")
+    ).where(F.col("id") != F.lit(source))
+    if exclude_direct:
+        nbrs = (
+            g.edges.where(F.col("src") == F.lit(source))
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        res = res.join(nbrs, "id", "left_anti")
+    return res.orderBy(F.desc("rank"), F.asc("id")).limit(k)

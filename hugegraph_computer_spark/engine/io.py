@@ -92,8 +92,15 @@ def combine_properties(
                 F.col(c).isNotNull(),
                 F.struct(order_key.alias("o"), F.col(c).alias("v")),
             )
+            # try_element_at: a column that is NULL in every row of the
+            # group collects to an empty array — plain element_at throws
+            # under ANSI mode (Spark 4 default); the combiner must yield
+            # NULL for that case (sparse-property parity with the old
+            # first/last(ignorenulls=True) behavior).
             aggs.append(
-                F.element_at(F.array_sort(F.collect_list(pairs)), pos)["v"].alias(c)
+                F.try_element_at(F.array_sort(F.collect_list(pairs)), F.lit(pos))[
+                    "v"
+                ].alias(c)
             )
         return df.groupBy(*key_cols).agg(*aggs)
     raise ValueError(f"unknown combiner mode: {mode}")

@@ -75,6 +75,15 @@ def transcripts_from_events(
         # collides conv prefixes past expand ~100.) Ordering stays
         # deterministic: the seq window orders by (ts, event_id) and
         # copies have distinct event_id.
+        # Guard the shift domain: copies collide silently (and the
+        # (ts, event_id) ordering tie-break stops being unique) if any
+        # base event_id reaches the 1e9 stride. One cheap agg, and only
+        # on the expand>1 (scaling-bench) path.
+        max_eid = ev.agg(F.max("event_id")).first()[0] or 0
+        if max_eid >= 1_000_000_000:
+            raise ValueError(
+                f"expand>1 requires max(event_id) < 1e9; got {max_eid}"
+            )
         copies = spark.range(expand).select(F.col("id").alias("_copy"))
         ev = ev.crossJoin(copies).withColumn(
             "event_id", F.col("event_id") + F.col("_copy") * F.lit(1_000_000_000)
@@ -281,6 +290,23 @@ class Graph:
             self.partitions,
             self._nv,
         )
+
+    def limit_out_edges(self, n: int) -> "Graph":
+        """`input.limit_edges_in_one_vertex` analogue
+        (ComputerOptions.java:186-194): cap the out-edges loaded per
+        vertex at n. The reference truncates in partition-file load
+        order; here the kept set is made deterministic — first n by
+        (etype, dst, weight) per src — so runs and the SQL oracle
+        agree. One hash shuffle on src; the hub-partition window is
+        acceptable because the output is bounded at n rows/vertex and
+        the cap is exactly the anti-hub lever."""
+        w = Window.partitionBy("src").orderBy("etype", "dst", "weight")
+        edges = (
+            self.edges.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+        return Graph(self.vertices, edges, self.partitions, self._nv)
 
     def densify(self) -> tuple["Graph", DataFrame]:
         """R13 fixed-length id remap: dictionary-encode string vertex ids

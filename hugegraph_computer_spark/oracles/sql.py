@@ -628,6 +628,92 @@ def ppr(supersteps: int = 10, alpha: float = 0.85, source: str = PPR_SOURCE) -> 
     )
 
 
+def ppr_topk(
+    supersteps: int = 10,
+    alpha: float = 0.85,
+    source: str = PPR_SOURCE,
+    k: int = 100,
+) -> str:
+    """PersonalPageRankListOutput mirror: top-k by (rounded rank desc,
+    id), after dropping the source and its direct out-edge targets
+    (ListOutput.java:52-57, TOP_N=100)."""
+    inner = ppr(supersteps=supersteps, alpha=alpha, source=source)
+    src = f"'{source}'"
+    return (
+        f"SELECT id, rank FROM ({inner}) "
+        f"WHERE id <> {src} AND id NOT IN "
+        f"(SELECT DISTINCT e.dst FROM ({edges_view()}) e WHERE e.src = {src}) "
+        f"ORDER BY rank DESC, id LIMIT {k}"
+    )
+
+
+def edges_view() -> str:
+    """The derived edge table as a standalone subquery (for composition
+    outside the shared WITH block)."""
+    return f"WITH {BASE.strip()} SELECT * FROM edges"
+
+
+VPROPS = """
+vprops AS (
+  SELECT id,
+    CASE WHEN id LIKE 'role:%' THEN 'role'
+         WHEN id LIKE 'tool:%' THEN 'tool' ELSE 'turn' END AS label,
+    CASE WHEN id LIKE 'role:%' OR id LIKE 'tool:%'
+         THEN substr(id, 6) ELSE NULL END AS name,
+    CASE WHEN id LIKE 'role:%' OR id LIKE 'tool:%'
+         THEN NULL ELSE CAST(split_part(id, '#', 2) AS INTEGER) END AS turn_idx
+  FROM nodes
+)
+"""
+
+
+def subgraph_labeled() -> str:
+    """Property-constrained SubGraphMatch mirror (QueryGraph.java
+    vertex/edge describes with property_filter): early turns a
+    (turn_idx <= 2) -reply-> b, b -mention-> t where t is the search or
+    sql tool. Variable predicates run over the same vprops derivation
+    as algorithms/subgraph.vertex_properties."""
+    extra = (
+        VPROPS.strip()
+        + """,
+va AS (SELECT id FROM vprops WHERE label = 'turn' AND turn_idx <= 2),
+vt AS (SELECT id FROM vprops WHERE label = 'tool' AND name IN ('search', 'sql')),
+e1 AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE etype = 'reply'),
+e2 AS (SELECT DISTINCT src AS b, dst AS t FROM edges
+       WHERE etype = 'mention' AND weight >= 1.0)
+"""
+    )
+    return _with(
+        extra.strip(),
+        "SELECT DISTINCT e1.a, e1.b, e2.t FROM e1 "
+        "JOIN e2 ON e1.b = e2.b "
+        "JOIN va ON e1.a = va.id JOIN vt ON e2.t = vt.id "
+        "WHERE e1.a <> e1.b AND e1.a <> e2.t AND e1.b <> e2.t",
+    )
+
+
+def degree_capped(n: int = 2) -> str:
+    """degree_centrality over a graph with out-edges capped at n per
+    vertex (input.limit_edges_in_one_vertex, ComputerOptions.java:
+    186-194) — kept set is the first n by (etype, dst, weight) per
+    src, mirroring Graph.limit_out_edges."""
+    extra = f"""
+capped AS (
+  SELECT src, dst, weight, etype FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY etype, dst, weight) AS rn
+    FROM edges
+  ) WHERE rn <= {n}
+)
+"""
+    return _with(
+        extra.strip(),
+        "SELECT n.id, CAST(coalesce(d.c, 0) AS DOUBLE) AS degree "
+        "FROM nodes n LEFT JOIN "
+        "(SELECT src, count(*) AS c FROM capped GROUP BY src) d ON n.id = d.src",
+    )
+
+
 def closeness(rounds: int = 20, sample_rate: float | None = None) -> str:
     """Unrolled (vertex, start) min-distance relaxation; centrality =
     sum(1/d) (ClosenessCentralityOutput.java:50-56). sample_rate

@@ -113,12 +113,17 @@ def _dot_literal_spark(vec: list[float]) -> str:
 def ivf_assign_case(dot_exprs: list[str]) -> str:
     """Shared argmax-as-CASE over per-centroid dot expressions: first
     index whose dot is >= all later ones (identical tie-break in both
-    engines because the CASE order is identical)."""
-    k = len(dot_exprs)
+    engines because the CASE order is identical). Dots are rounded to
+    6 decimals inside the comparison: Spark's aggregate() is a strict
+    left fold while DuckDB's list_sum does not document summation
+    order, so without rounding a last-ulp difference near a tie could
+    assign a vector to different clusters in engine vs oracle."""
+    rounded = [f"round({d}, 6)" for d in dot_exprs]
+    k = len(rounded)
     arms = []
     for i in range(k - 1):
         conds = " AND ".join(
-            f"({dot_exprs[i]}) >= ({dot_exprs[j]})" for j in range(i + 1, k)
+            f"({rounded[i]}) >= ({rounded[j]})" for j in range(i + 1, k)
         )
         arms.append(f"WHEN {conds} THEN {i}")
     return "CASE " + " ".join(arms) + f" ELSE {k - 1} END"

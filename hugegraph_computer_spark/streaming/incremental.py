@@ -85,7 +85,7 @@ REPLY_EDGE_SCHEMA = T.StructType(
 _STITCH_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_turn", T.IntegerType(), True),
-        T.StructField("last_node", T.StringType(), True),
+        T.StructField("pending", T.ArrayType(T.IntegerType()), True),
     ]
 )
 
@@ -104,12 +104,17 @@ def stitch_reply_edges_stream(
     batch-parity where the plain foreachBatch path (stream_edges_to)
     assumes batch-complete conversations.
 
-    State per conversation is two scalars (last_turn, last_node) — at
-    100 TB-rate the state store holds O(live conversations) tiny rows,
-    checkpointed by Structured Streaming's state store (RocksDB in
-    prod). Turns are assumed to arrive in order across batches (the
-    transcript log is append-ordered per conversation); reordering
-    within one batch is handled by the sort.
+    Arrival order does NOT matter: state per conversation is the last
+    *emitted* turn index plus a buffer of not-yet-contiguous turn
+    indices. Each batch merges its turns into the buffer (duplicates
+    and already-emitted turns dropped), then drains the contiguous
+    prefix — so a turn arriving after its successor is held until the
+    gap fills, and the emitted edge set equals the batch derivation
+    regardless of how turns are split or reordered across batches.
+    Turn indices are assumed to start at 0 per conversation (true of
+    the derived transcript tables). State is O(out-of-order window)
+    ints per live conversation, checkpointed by Structured Streaming's
+    state store (RocksDB in prod).
 
     Returns the started StreamingQuery (availableNow trigger)."""
     import pandas as pd
@@ -126,16 +131,27 @@ def stitch_reply_edges_stream(
         rows = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
         if rows.empty:
             return
-        rows = rows.sort_values("turn_idx")
-        nodes = [f"{conv_id}#{int(t):02d}" for t in rows["turn_idx"]]
-        chain = ([state.get[1]] if state.exists else []) + nodes
-        state.update((int(rows["turn_idx"].iloc[-1]), nodes[-1]))
-        if len(chain) < 2:
+        if state.exists:
+            last_turn = state.get[0]
+            pending = set(state.get[1] or [])
+        else:
+            last_turn, pending = -1, set()
+        pending |= {int(t) for t in rows["turn_idx"] if int(t) > last_turn}
+        srcs: list[str] = []
+        dsts: list[str] = []
+        while (last_turn + 1) in pending:
+            pending.discard(last_turn + 1)
+            if last_turn >= 0:
+                srcs.append(f"{conv_id}#{last_turn:02d}")
+                dsts.append(f"{conv_id}#{last_turn + 1:02d}")
+            last_turn += 1
+        state.update((last_turn, sorted(pending)))
+        if not srcs:
             return
         yield pd.DataFrame(
             {
-                "src": chain[:-1],
-                "dst": chain[1:],
+                "src": srcs,
+                "dst": dsts,
                 "weight": 1.0,
                 "etype": "reply",
             }

@@ -40,6 +40,25 @@ def test_combine_merge_old_new(spark):
     assert old["v2"] == new["v2"] == (7, "x")
 
 
+def test_combine_all_null_group(spark):
+    """A value column NULL in every row of a key group must combine to
+    NULL (sparse properties — the case the merge combiners exist for),
+    not throw: under Spark 4 ANSI mode element_at over the empty
+    collect_list array raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT;
+    try_element_at restores the old first/last(ignorenulls) NULL."""
+    df = spark.createDataFrame(
+        [("v1", None, "a"), ("v1", None, "b"), ("v2", 5, None)],
+        "id string, p1 int, p2 string",
+    )
+    for mode in ("merge_old", "merge_new"):
+        out = {
+            r["id"]: (r["p1"], r["p2"])
+            for r in combine_properties(df, ["id"], mode).collect()
+        }
+        assert out["v1"][0] is None and out["v1"][1] in ("a", "b")
+        assert out["v2"] == (5, None)
+
+
 def test_csv_sink_merge_and_blank_filter(spark):
     d = tempfile.mkdtemp(prefix="hcs_csv_")
     try:

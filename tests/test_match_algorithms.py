@@ -108,6 +108,114 @@ def test_subgraph_wedge(spark, sf_graph):
     assert len(rows) > 0
 
 
+def test_subgraph_json_matches_manual(spark, sf_graph):
+    """The query-graph JSON surface (QueryGraphDescribe parity):
+    label + property_filter constraints per variable and per edge must
+    equal a hand-enumerated match set."""
+    import json
+
+    from hugegraph_computer_spark.algorithms.subgraph import subgraph_match_json
+
+    describe = [
+        {
+            "id": "a",
+            "label": "turn",
+            "property_filter": "turn_idx <= 2",
+            "edges": [{"targetId": "b", "label": "reply"}],
+        },
+        {
+            "id": "b",
+            "label": "turn",
+            "edges": [
+                {
+                    "targetId": "t",
+                    "label": "mention",
+                    "property_filter": "weight >= 1.0",
+                }
+            ],
+        },
+        {"id": "t", "label": "tool", "property_filter": "name = 'search'"},
+    ]
+    got = {
+        (r["a"], r["b"], r["t"])
+        for r in subgraph_match_json(sf_graph, json.dumps(describe)).collect()
+    }
+    reply = {
+        (r["src"], r["dst"])
+        for r in sf_graph.edges.where(F.col("etype") == "reply").collect()
+    }
+    mention = {
+        (r["src"], r["dst"])
+        for r in sf_graph.edges.where(F.col("etype") == "mention").collect()
+    }
+
+    def turn_idx(v):
+        return int(v.split("#")[1])
+
+    expected = {
+        (a, b, t)
+        for (a, b) in reply
+        for (b2, t) in mention
+        if b2 == b and turn_idx(a) <= 2 and t == "tool:search"
+        and len({a, b, t}) == 3
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_subgraph_json_rejects_undeclared_target(spark):
+    from hugegraph_computer_spark.algorithms.subgraph import parse_query_graph
+
+    try:
+        parse_query_graph(
+            [{"id": "a", "label": "turn",
+              "edges": [{"targetId": "ghost", "label": "reply"}]}]
+        )
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "ghost" in str(e)
+
+
+def test_ppr_topk_output_cap(spark):
+    """PersonalPageRankListOutput parity: the source and its direct
+    out-neighbors are removed, then top-k by (rank desc, id)."""
+    from hugegraph_computer_spark.algorithms.ppr import ppr_topk
+
+    edges = [("s", "n1"), ("s", "n2"), ("n1", "x1"), ("n2", "x2")]
+    g = graph_from_edges(spark, edges)
+    result = spark.createDataFrame(
+        [("s", 0.9), ("n1", 0.5), ("n2", 0.4), ("x1", 0.3), ("x2", 0.3), ("y", 0.1)],
+        "id string, rank double",
+    )
+    top = [(r["id"], r["rank"]) for r in ppr_topk(result, g, "s", k=2).collect()]
+    # s (source) and n1/n2 (direct targets) excluded; tie 0.3/0.3 broken
+    # by id asc; k=2 cuts y
+    assert top == [("x1", 0.3), ("x2", 0.3)]
+    everything = {r["id"] for r in ppr_topk(result, g, "s", k=100).collect()}
+    assert everything == {"x1", "x2", "y"}
+
+
+def test_limit_out_edges(spark):
+    """input.limit_edges_in_one_vertex parity: at most n out-edges per
+    vertex, deterministic kept set (first by etype, dst, weight)."""
+    e = spark.createDataFrame(
+        [
+            ("a", "z", 1.0, "reply"),
+            ("a", "y", 1.0, "mention"),
+            ("a", "x", 1.0, "mention"),
+            ("b", "a", 1.0, "reply"),
+        ],
+        "src string, dst string, weight double, etype string",
+    )
+    v = spark.createDataFrame([("a",), ("b",), ("x",), ("y",), ("z",)], "id string")
+    g = Graph(vertices=v, edges=e, partitions=2)
+    capped = {
+        (r["src"], r["dst"]) for r in g.limit_out_edges(2).edges.collect()
+    }
+    # a keeps ('mention','x') and ('mention','y'); 'reply' z is cut
+    assert capped == {("a", "x"), ("a", "y"), ("b", "a")}
+
+
 def test_rings_with_filter(spark):
     g = graph_from_edges(spark, CYCLIC_EDGES)
     # A13: restrict spreading to edges not touching 'd' -> kills the

@@ -102,6 +102,58 @@ def test_stitching_survives_split_conversations(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+OOO_A = [  # batch 1: turn 1 is missing (late), turn 2 arrives early
+    ("conv_o", 0, "user", "search"),
+    ("conv_o", 2, "user", None),
+]
+OOO_B = [  # batch 2: the late turn 1, a duplicate of turn 0, and turn 3
+    ("conv_o", 1, "assistant", None),
+    ("conv_o", 0, "user", "search"),
+    ("conv_o", 3, "assistant", "code"),
+]
+
+
+def test_stitching_out_of_order_and_duplicates(spark):
+    """A turn arriving AFTER its successor (and a replayed duplicate)
+    must still yield exactly the batch-derivation reply chain: the
+    stitcher buffers non-contiguous turns in state and only emits the
+    contiguous prefix, so no reversed or duplicate edges appear."""
+    import time as _time
+
+    from hugegraph_computer_spark.streaming.incremental import (
+        stitch_reply_edges_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="hcs_ooo_")
+    src = os.path.join(base, "in")
+    store = os.path.join(base, "edges")
+    ck = os.path.join(base, "ck")
+    os.makedirs(src)
+    try:
+        _write_batch(src, "b1.json", OOO_A)
+        _write_batch(src, "b2.json", OOO_B)
+        now = _time.time()
+        os.utime(os.path.join(src, "b1.json"), (now - 60, now - 60))
+        os.utime(os.path.join(src, "b2.json"), (now, now))
+        q = stitch_reply_edges_stream(spark, src, store, ck)
+        q.awaitTermination(180)
+
+        rows = spark.read.parquet(store).collect()
+        got = [(r["src"], r["dst"]) for r in rows]
+        expected = {
+            (r["src"], r["dst"])
+            for r in derive_edges(
+                make_transcripts(spark, sorted(set(OOO_A + OOO_B), key=lambda t: t[1]))
+            )
+            .where(F.col("etype") == "reply")
+            .collect()
+        }
+        assert len(got) == len(set(got))  # no duplicate edges
+        assert set(got) == expected  # exactly the batch chain 0->1->2->3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_ingest_matches_batch(spark):
     base = tempfile.mkdtemp(prefix="hcs_stream_")
     src = os.path.join(base, "in")
