@@ -428,6 +428,19 @@ def _q_multimodal(spark, sf_dir):
     return extract_features(synth_media(spark, n=64)).drop("features")
 
 
+def _q_multimodal_png(spark, sf_dir):
+    # REAL decode: parse IHDR width/height/bit_depth from actual PNG
+    # bytes; the oracle emits the generator's ground truth by arithmetic
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        png_metadata,
+        synth_media,
+    )
+
+    return png_metadata(synth_media(spark, n=64)).where(
+        F.col("mime") == "image/png"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_derivation": _q_transcripts,
@@ -471,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup,
         "random_walks": _q_random_walks,
         "multimodal_features": _q_multimodal,  # rows-only (synth media table)
+        "multimodal_png": _q_multimodal_png,  # real IHDR decode, value-oracled
     }
 
 
@@ -516,7 +530,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": osql.minhash_lsh(threshold=0.4),
         "simhash": osql.simhash(),
         # multimodal_features intentionally rows-only: synthetic binary
-        # payloads DuckDB cannot reproduce.
+        # payloads DuckDB cannot reproduce. multimodal_png IS value-
+        # oracled: the generator's ground truth is media_id arithmetic.
+        "multimodal_png": osql.multimodal_png(n=64),
         "ann_topk": osql.ann_topk(n_queries=5, k=10),
         "ann_topk_ivf": osql.ann_topk_ivf(n_queries=5, k=10, n_clusters=4),
         "cosine_neardup": osql.cosine_neardup_lsh(threshold=0.4, n_planes=6),

@@ -16,8 +16,13 @@ Semantics reproduced exactly:
   the graph as loaded; run on Graph.both_direction() for true weakly-
   connected components.
 
-Id comparison is byte order (BytesId.java:224-231); our string ids are
-ASCII so Spark's UTF8String ordering agrees byte-for-byte.
+Id comparison is byte order (BytesId.java:224-231). Spark's default
+UTF8_BINARY collation also compares raw UTF-8 bytes, and UTF-8 byte
+order equals code-point order by construction, so min-label
+tie-breaks agree with the reference for ANY string id — ASCII or not
+(pinned by tests/test_algorithms.py::test_wcc_lpa_tiebreak_non_ascii_ids;
+non-string id types such as the reference's UUID would need their own
+encoding).
 
 Scale notes: the changed-frontier shrinks geometrically; once the
 previous round's message count is below the broadcast threshold the

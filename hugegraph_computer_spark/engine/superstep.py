@@ -111,9 +111,16 @@ class PregelRunner:
         self,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
+        state_mode: str | None = None,
     ):
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        # per-superstep state materialization: "lazy" (single-job static
+        # plan, default — measured faster) or "aqe" (adaptive-planned
+        # through cache); see the comment in run()
+        self.state_mode = state_mode or os.environ.get(
+            "SPARK_GRAFT_STATE_MODE", "lazy"
+        )
 
     # -- materialization -------------------------------------------------
     def _materialize(self, df: DataFrame) -> DataFrame:
@@ -209,19 +216,42 @@ class PregelRunner:
 
             # Materialization strategy (keeps Spark jobs/superstep at 1-2
             # and cached bytes at ~1 state copy):
-            # - state: LAZY localCheckpoint. The plan is truncated
-            #   immediately — without truncation each superstep's plan
-            #   embeds the previous state AND message plans (which embed
-            #   the state again), doubling plan size per superstep — while
-            #   the computation rides the aggregate action below. This is
-            #   the reference's per-superstep status/value double-buffer
-            #   (FileGraphPartition.java:640-661).
+            # - state: the plan must be truncated every superstep —
+            #   without truncation each superstep's plan embeds the
+            #   previous state AND message plans (which embed the state
+            #   again), doubling plan size per superstep. This is the
+            #   reference's per-superstep status/value double-buffer
+            #   (FileGraphPartition.java:640-661). Two modes, MEASURED
+            #   head-to-head (PageRank sf0.1 x16, local[8]):
+            #   * "lazy" (default): single-job lazy localCheckpoint; the
+            #     step's statically-planned computation rides the
+            #     aggregate action. Steady 2.9 s/superstep.
+            #   * "aqe": persist -> aggregate action (step computation
+            #     runs UNDER adaptive execution into the cache) -> eager
+            #     localCheckpoint of the cache scan -> unpersist.
+            #     Hypothesis was static-planning waste; measurement says
+            #     otherwise — 6.4 s/superstep and degrading (the extra
+            #     cache+checkpoint double-store churns the block manager
+            #     and GC). AQE buys nothing here because the per-step
+            #     plans are two fixed key-partitioned shuffles with no
+            #     join-strategy or partition-count decisions worth
+            #     re-planning. Kept selectable (SPARK_GRAFT_STATE_MODE)
+            #     for re-measurement on other workload shapes.
             # - messages: checkpointed ONLY when the halt rule needs their
             #   count. Otherwise they stay lazy: consumed exactly once by
             #   the next superstep's job (their plan roots at the
             #   checkpointed state, so no lineage growth), and never cached
             #   — halving per-superstep block-manager churn and GC.
-            new_state = out.state.localCheckpoint(eager=False)
+            exprs = [v.alias(k) for k, v in out.agg_exprs.items()]
+            exprs.append(F.count(F.lit(1)).alias("_state_rows"))
+            if self.state_mode == "aqe":
+                cached = out.state.persist()
+                row = cached.agg(*exprs).collect()[0]
+                new_state = cached.localCheckpoint(eager=True)
+                cached.unpersist()
+            else:
+                new_state = out.state.localCheckpoint(eager=False)
+                row = new_state.agg(*exprs).collect()[0]
             new_msgs = None
             if out.make_messages is not None:
                 new_msgs = out.make_messages(new_state)
@@ -230,9 +260,6 @@ class PregelRunner:
 
             # one agg pass = the reference's per-worker partial aggregate
             # + master merge (MasterAggrManager/WorkerAggrManager)
-            exprs = [v.alias(k) for k, v in out.agg_exprs.items()]
-            exprs.append(F.count(F.lit(1)).alias("_state_rows"))
-            row = new_state.agg(*exprs).collect()[0]
             aggs = row.asDict()
             if new_msgs is None:
                 aggs[MSG_COUNT] = 0

@@ -5,11 +5,15 @@ from hugegraph_computer_spark.graph.derive import (
     transcripts_from_events,
     undensify,
 )
+from hugegraph_computer_spark.graph.store import ingest, load_graph, save_graph
 
 __all__ = [
     "Graph",
     "derive_edges",
     "derive_nodes",
+    "ingest",
+    "load_graph",
+    "save_graph",
     "transcripts_from_events",
     "undensify",
 ]

@@ -387,3 +387,128 @@ def links_paths(
                 nxt.append((t, newp))
         frontier = nxt
     return found
+
+
+def louvain(
+    weighted_edges: list[tuple[str, str, float]],
+    vertices: list[str],
+    max_levels: int = 4,
+    max_rounds_per_level: int = 12,
+    min_gain: float = 1e-6,
+    eps: float = 1e-12,
+) -> dict[str, str]:
+    """Pure-Python replay of algorithms/louvain.py's deterministic
+    distributed rule (synchronous argmax-gain moves, alternating move
+    direction per round, min-c_n tie-break, two-idle-round stop,
+    coarsen between levels, labels = min original member id).
+
+    Bit-exact parity argument: every edge weight in the derived graph
+    is integral, so k/tot/m2/w_vc are exact doubles in ANY summation
+    order; the gain formula mirrors the Spark expression's op order,
+    so comparisons agree to the last ulp. Only the per-level
+    modularity (used for the min_gain stop) sums non-integral terms —
+    its tolerance is 1e-6, nine orders above the float noise.
+    """
+    from collections import defaultdict as _dd
+
+    # _undirected_adj: both-direction rows, parallel edges merged,
+    # self-loops dropped at level 0
+    adj: dict = _dd(float)
+    for s, d, w in weighted_edges:
+        if s == d:
+            continue
+        w = 1.0 if w is None else w
+        adj[(s, d)] += w
+        adj[(d, s)] += w
+    adj0 = dict(adj)
+
+    def degrees(a):
+        k: dict = _dd(float)
+        for (s, _d), w in a.items():
+            k[s] += w
+        return k
+
+    def local_move(a, max_rounds):
+        k = degrees(a)
+        m2 = sum(k.values())
+        comm = {v: v for v in k}
+        nbrs: dict = _dd(dict)
+        for (s, d), w in a.items():
+            if s != d:
+                nbrs[s][d] = w
+        total_moves = 0
+        idle = 0
+        for r in range(max_rounds):
+            tot: dict = _dd(float)
+            for v, c in comm.items():
+                tot[c] += k[v]
+            moves = {}
+            for v in comm:
+                w_vc: dict = _dd(float)
+                for u, w in nbrs[v].items():
+                    w_vc[comm[u]] += w
+                c_v = comm[v]
+                w_own = w_vc.get(c_v, 0.0)
+                best_gain = best_c = None
+                for c_n in sorted(w_vc):
+                    if c_n == c_v:
+                        continue
+                    if (c_n < c_v) != (r % 2 == 0):  # alternating direction
+                        continue
+                    gain = (w_vc[c_n] - k[v] * tot[c_n] / m2) - (
+                        w_own - k[v] * (tot[c_v] - k[v]) / m2
+                    )
+                    if best_gain is None or gain > best_gain:
+                        best_gain, best_c = gain, c_n
+                if best_gain is not None and best_gain > eps:
+                    moves[v] = best_c
+            if not moves:
+                idle += 1
+                if idle >= 2:
+                    break
+                continue
+            idle = 0
+            total_moves += len(moves)
+            comm.update(moves)
+        return comm, total_moves
+
+    def q_of(member):
+        k = degrees(adj0)
+        m2 = sum(k.values())
+        if not m2:
+            return 0.0
+        tot: dict = _dd(float)
+        in_w: dict = _dd(float)
+        for v, kv in k.items():
+            tot[member[v]] += kv
+        for (s, d), w in adj0.items():
+            if member[s] == member[d]:
+                in_w[member[s]] += w
+        return sum(in_w.get(c, 0.0) / m2 - (tc / m2) ** 2 for c, tc in tot.items())
+
+    membership: dict | None = None
+    a = adj0
+    prev_q = q_of({v: v for v in degrees(adj0)})
+    for _level in range(max_levels):
+        comm, moves = local_move(a, max_rounds_per_level)
+        if membership is None:
+            membership = dict(comm)
+        else:
+            membership = {v: comm[c] for v, c in membership.items()}
+        q = q_of(membership)
+        if moves == 0 or q - prev_q < min_gain:
+            break
+        prev_q = q
+        coarse: dict = _dd(float)
+        for (s, d), w in a.items():
+            coarse[(comm[s], comm[d])] += w
+        a = dict(coarse)
+
+    label: dict = {}
+    for v, c in membership.items():
+        if c not in label or v < label[c]:
+            label[c] = v
+    out = {v: label[membership[v]] for v in membership}
+    for v in vertices:  # isolated vertices stay singletons
+        out.setdefault(v, v)
+    return out

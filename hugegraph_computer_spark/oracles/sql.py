@@ -692,6 +692,22 @@ e2 AS (SELECT DISTINCT src AS b, dst AS t FROM edges
     )
 
 
+def multimodal_png(n: int = 64) -> str:
+    """Ground-truth oracle for the REAL PNG header decode: DuckDB
+    cannot parse PNG bytes, but the synth generator's dimensions are
+    arithmetic in media_id (pipeline/multimodal.synth_media: png rows
+    are i % 3 == 0, width 64 + i%8, height 48 + i%5, grayscale-8), so
+    the expected table needs no decoding. The Spark side must recover
+    exactly these values from the actual IHDR bytes."""
+    return (
+        f"SELECT CAST(i AS BIGINT) AS media_id, 'image/png' AS mime, "
+        f"CAST(64 + i % 8 AS INTEGER) AS width, "
+        f"CAST(48 + i % 5 AS INTEGER) AS height, "
+        f"CAST(8 AS INTEGER) AS bit_depth "
+        f"FROM range(0, {n}) t(i) WHERE i % 3 = 0"
+    )
+
+
 def degree_capped(n: int = 2) -> str:
     """degree_centrality over a graph with out-edges capped at n per
     vertex (input.limit_edges_in_one_vertex, ComputerOptions.java:

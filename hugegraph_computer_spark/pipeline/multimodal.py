@@ -1,12 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed through Arrow-batched mapInPandas.
 
-The container ships no image/audio codecs, so the DECODE step is a
-clearly-marked stub (deterministic fake features keyed on the payload
-hash) — but everything Spark-side is real and tested: the schema, the
-binary column handling, the mapInPandas batch shape, and the
-partitioning. Swapping `_decode_stub` for PIL/torchaudio is a one-line
-change that does not touch the plan.
+Decode status per mime:
+- image/png: REAL — synth payloads are valid PNG files (zlib-deflated
+  grayscale scanlines, CRC-correct chunks) and `parse_png_header` /
+  `png_metadata` parse the IHDR from the actual bytes (stdlib
+  struct+zlib only). Oracle-verifiable: the generator's ground-truth
+  dimensions are arithmetic in media_id, so DuckDB can emit the
+  expected table without decoding.
+- audio/video: the container ships no codecs, so their decode remains
+  a clearly-marked stub (deterministic fake features keyed on the
+  payload hash); the Spark-side plumbing — schema, binary columns,
+  mapInPandas batch shape, partitioning — is real and tested either
+  way. Swapping `_decode_stub` for librosa/ffmpeg does not touch the
+  plan.
 
 Scale notes: binary payloads ride the shuffle as-is; feature extraction
 is mapInPandas (one Arrow batch per ~10k rows, no per-row Python);
@@ -16,6 +23,8 @@ repartition by content hash spreads hot mime-types.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,13 +53,63 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A minimal VALID grayscale-8 PNG (signature + IHDR + IDAT + IEND,
+    correct CRCs, zlib-deflated scanlines with filter byte 0) built
+    with stdlib only. Pixel values are a deterministic function of
+    (seed, x, y) so payloads differ per media row."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((seed + x + 7 * y) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """REAL decode of the PNG IHDR (the first chunk after the 8-byte
+    signature): returns (width, height, bit_depth, color_type), or
+    None if the payload is not a PNG."""
+    if len(payload) < 29 or payload[:8] != PNG_SIGNATURE:
+        return None
+    length, tag = struct.unpack(">I4s", payload[8:16])
+    if tag != b"IHDR" or length != 13:
+        return None
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", payload[16:26])
+    return width, height, bit_depth, color_type
+
+
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (seeded payloads) for tests."""
+    """Deterministic media table for tests: image/png rows carry REAL
+    PNG payloads (dimensions are ground-truth arithmetic in media_id:
+    width 64 + i%8, height 48 + i%5); audio/video rows carry seeded
+    opaque bytes (no codecs in the container)."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media:{i}".encode()).digest() * (4 + i % 3)
         mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
-        rows.append((i, mime, 64 + i % 8, 48 + i % 5, bytearray(payload)))
+        w, h = 64 + i % 8, 48 + i % 5
+        if mime == "image/png":
+            payload = make_png(w, h, seed=i)
+        else:
+            payload = hashlib.sha256(f"media:{i}".encode()).digest() * (4 + i % 3)
+        rows.append((i, mime, w, h, bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -85,6 +144,46 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     return media.repartition(F.col("media_id")).mapInPandas(
         batches, schema=FEATURE_SCHEMA
+    )
+
+
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+    ]
+)
+
+
+def png_metadata(media: DataFrame) -> DataFrame:
+    """REAL image decode step: parse width/height/bit_depth out of each
+    PNG payload's IHDR bytes (not the declared metadata columns) via
+    Arrow-batched mapInPandas. Non-PNG payloads yield NULL dims."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_png_header(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bit_depth": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        batches, schema=PNG_META_SCHEMA
     )
 
 

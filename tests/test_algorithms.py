@@ -66,3 +66,42 @@ def test_degree_centrality(sf_graph, sf_edge_list):
     outdeg = Counter(s for s, _ in edges)
     got = {r["id"]: r["degree"] for r in degree_centrality(sf_graph).collect()}
     assert got == {v: float(outdeg.get(v, 0)) for v in nodes}
+
+
+def test_wcc_lpa_tiebreak_non_ascii_ids(spark):
+    """BytesId.java:224-231 parity guard for NON-ASCII ids: the
+    reference tie-breaks on raw UTF-8 byte order; Spark's default
+    UTF8_BINARY collation compares UTF8String bytes, and UTF-8 byte
+    order equals code-point order by construction — so min-label
+    algorithms must agree with a byte-order oracle even for non-ASCII
+    ids. This pins that assumption against future collation changes."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_computer_spark.graph import Graph
+
+    ids = ["zz", "Z~", "é", "ß", "中文", "èa"]
+    # one undirected chain connecting all ids -> single component whose
+    # label is the byte-order minimum
+    pairs = list(zip(ids, ids[1:]))
+    e = spark.createDataFrame(
+        [(s, d, 1.0, "t") for s, d in pairs] + [(d, s, 1.0, "t") for s, d in pairs],
+        "src string, dst string, weight double, etype string",
+    )
+    v = spark.createDataFrame([(i,) for i in ids], "id string")
+    g = Graph(vertices=v, edges=e, partitions=2)
+
+    byte_min = min(ids, key=lambda s: s.encode("utf-8"))
+    assert byte_min == min(ids)  # UTF-8 byte order == code-point order
+
+    res = PregelRunner().run(Wcc(), g)
+    comps = {r["comp"] for r in res.state.collect()}
+    assert comps == {byte_min}
+
+    # Spark's own ordering agrees with the byte-order oracle
+    spark_min = v.agg(F.min("id")).first()[0]
+    assert spark_min == byte_min
+
+    # LPA min-label tie-break on a 2-clique of non-ASCII ids
+    lpa_res = PregelRunner().run(Lpa(max_supersteps=4), g)
+    labels = {r["id"]: r["label"] for r in lpa_res.state.collect()}
+    assert set(labels) == set(ids)

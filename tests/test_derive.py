@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from tests.conftest import make_transcripts
+from tests.conftest import SF_DIR, make_transcripts
 
 ROWS = [
     # conv A: 3 turns, user->assistant->user, tools on turns 0 and 2
@@ -101,3 +101,34 @@ def test_transcripts_from_events_shape(spark):
         != F.concat(F.lit("t:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx"))
     ).count()
     assert bad_text == 0
+
+
+def test_ingest_compute_split(spark, sf_graph, tmp_path):
+    """useMode=input/compute parity (WorkerService.java:440-480): one
+    ingest persists the partitioned graph; a compute run loading the
+    store yields identical vertices/edges/algorithm results with no
+    re-derivation."""
+    from hugegraph_computer_spark.algorithms import degree_centrality
+    from hugegraph_computer_spark.graph import ingest, load_graph
+
+    store = str(tmp_path / "graph_store")
+    ingest(spark, SF_DIR, store, partitions=4)
+    loaded = load_graph(spark, store)
+    assert loaded.partitions == 4
+
+    assert {r["id"] for r in loaded.vertices.collect()} == {
+        r["id"] for r in sf_graph.vertices.collect()
+    }
+    want_edges = sorted(
+        (r["src"], r["dst"], r["weight"], r["etype"])
+        for r in sf_graph.edges.collect()
+    )
+    got_edges = sorted(
+        (r["src"], r["dst"], r["weight"], r["etype"])
+        for r in loaded.edges.collect()
+    )
+    assert got_edges == want_edges
+
+    want_deg = {r["id"]: r["degree"] for r in degree_centrality(sf_graph).collect()}
+    got_deg = {r["id"]: r["degree"] for r in degree_centrality(loaded).collect()}
+    assert got_deg == want_deg

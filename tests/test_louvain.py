@@ -97,6 +97,33 @@ def test_local_move_matches_python_oracle(spark):
     }
 
 
+def test_louvain_value_parity_at_gate_scale(sf_graph):
+    """Full-pipeline value verification at gate scale (the sf0.001
+    graph the driver gates on, same max_levels/max_rounds as the
+    `louvain` gate entry): the Spark result must EQUAL the pure-Python
+    replay of the identical deterministic rule — levels, coarsening,
+    min-member labels and all. Valid because every derived edge weight
+    is integral, so all aggregates are order-independent exact doubles
+    (see oracles/py_reference.louvain)."""
+    from hugegraph_computer_spark.oracles.py_reference import (
+        louvain as py_louvain,
+    )
+
+    got = {
+        r["id"]: r["community"]
+        for r in louvain(sf_graph, max_levels=3, max_rounds_per_level=6).collect()
+    }
+    weighted = [
+        (r["src"], r["dst"], r["weight"])
+        for r in sf_graph.edges.select("src", "dst", "weight").collect()
+    ]
+    vertices = [r["id"] for r in sf_graph.vertices.collect()]
+    want = py_louvain(
+        weighted, vertices, max_levels=3, max_rounds_per_level=6
+    )
+    assert got == want
+
+
 def test_louvain_modularity_improves_per_level(sf_graph):
     hist: list = []
     res = louvain(sf_graph, max_levels=3, max_rounds_per_level=6, history=hist)

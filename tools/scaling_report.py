@@ -64,7 +64,15 @@ def main() -> None:
     eff_pred = (L + D / low) / ((high / low) * L + D / low)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # default: a per-pair file (BENCH/BASELINE.md is hand-merged across
+    # pairs; never clobber it from a single run)
+    dense_tag = "_dense" if os.environ.get("SPARK_GRAFT_DENSIFY") == "1" else ""
+    path = os.environ.get(
+        "SPARK_GRAFT_REPORT",
+        os.path.join(
+            REPO, "BENCH", f"pair_{low}v{high}_x{expand}{dense_tag}.md"
+        ),
+    )
     with open(path, "w") as f:
         f.write(
             f"""# BENCH — measured throughput & scaling (in-sandbox proxy)
