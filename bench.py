@@ -76,6 +76,11 @@ def main() -> None:
     pr.state.count()
     pr_sec = time.monotonic() - t0
     timings["pagerank_1e6"] = pr_sec
+    if os.environ.get("SPARK_GRAFT_STEP_HISTORY"):
+        # per-superstep walls for floor/variance diagnosis
+        extras["pagerank_step_seconds"] = [
+            round(h["seconds"], 2) for h in pr.history
+        ]
     extras["pagerank_supersteps"] = pr.supersteps
     extras["pagerank_supersteps_per_min"] = pr.supersteps / pr_sec * 60.0
     extras["pagerank_edges_per_sec"] = n_edges * pr.supersteps / pr_sec
