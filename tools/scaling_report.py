@@ -14,6 +14,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the sandbox is a VM
+    on an oversubscribed host, and host CPU steal (measured spikes of
+    ~50% of demanded cycles) is the dominant run-over-run noise in
+    these legs. Each leg records its steal exposure so a contended leg
+    is never mistaken for an engine regression."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run(cpus: int, sf_dir: str, expand: int) -> dict:
     env = dict(
         os.environ,
@@ -22,12 +35,14 @@ def run(cpus: int, sf_dir: str, expand: int) -> dict:
         SPARK_GRAFT_EXPAND=str(expand),
         SPARK_GRAFT_ONLY="pagerank",  # the north-rule metric job
     )
+    steal0, total0 = _stat()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
     )
+    steal1, total1 = _stat()
     # per-leg logs survive a failed pair (the other leg's result is
     # expensive — never lose it to one leg's crash)
     with open(f"/tmp/bench_cpus{cpus}_x{expand}.log", "w") as f:
@@ -39,6 +54,11 @@ def run(cpus: int, sf_dir: str, expand: int) -> dict:
         )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
+    # % of total host-visible capacity stolen during this leg (relative
+    # steal vs the leg's own demand is ~nproc/cpus higher)
+    rec["steal_pct_capacity"] = round(
+        100.0 * (steal1 - steal0) / max(1, total1 - total0), 2
+    )
     print(json.dumps({"leg_done": cpus, **rec}), flush=True)
     return rec
 
@@ -50,8 +70,25 @@ def main() -> None:
     expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "256"))
     low = int(os.environ.get("SPARK_GRAFT_LOW", "8"))
     high = int(os.environ.get("SPARK_GRAFT_HIGH", "32"))
-    r_low = run(low, sf_dir, expand)
-    r_high = run(high, sf_dir, expand)
+    # Host steal is bursty: with REPEATS>1 each leg keeps its
+    # fastest run (the least-stolen one — closest to true machine
+    # capability) and records every run's wall + steal exposure.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "1"))
+
+    def best_leg(cpus: int) -> dict:
+        runs = [run(cpus, sf_dir, expand) for _ in range(repeats)]
+        best = min(runs, key=lambda r: r["queries"]["pagerank_1e6"])
+        best["all_runs"] = [
+            {
+                "pagerank_sec": r["queries"]["pagerank_1e6"],
+                "steal_pct_capacity": r.get("steal_pct_capacity"),
+            }
+            for r in runs
+        ]
+        return best
+
+    r_low = best_leg(low)
+    r_high = best_leg(high)
     thr_low = r_low["pagerank_edges_per_sec"]
     thr_high = r_high["pagerank_edges_per_sec"]
     eff = (thr_high / thr_low) / (high / low)
