@@ -6,7 +6,13 @@ from hugegraph_computer_spark.graph.derive import (
     undensify,
 )
 from hugegraph_computer_spark.graph.sources import read_transcripts
-from hugegraph_computer_spark.graph.store import ingest, load_graph, save_graph
+from hugegraph_computer_spark.graph.store import (
+    ingest,
+    load_graph,
+    load_graph_bucketed,
+    save_graph,
+    save_graph_bucketed,
+)
 
 __all__ = [
     "Graph",
@@ -14,8 +20,10 @@ __all__ = [
     "derive_nodes",
     "ingest",
     "load_graph",
+    "load_graph_bucketed",
     "read_transcripts",
     "save_graph",
+    "save_graph_bucketed",
     "transcripts_from_events",
     "undensify",
 ]

@@ -132,3 +132,45 @@ def test_ingest_compute_split(spark, sf_graph, tmp_path):
     want_deg = {r["id"]: r["degree"] for r in degree_centrality(sf_graph).collect()}
     got_deg = {r["id"]: r["degree"] for r in degree_centrality(loaded).collect()}
     assert got_deg == want_deg
+
+
+def test_bucketed_store_zero_shuffle(spark, sf_graph):
+    """Bucketed catalog-table store: same graph back, and src-keyed
+    aggregation reads the clustering from the table layout — NO
+    Exchange in the plan (the file store must repartition on load)."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_computer_spark.algorithms import degree_centrality
+    from hugegraph_computer_spark.graph import (
+        load_graph_bucketed,
+        save_graph_bucketed,
+    )
+
+    save_graph_bucketed(sf_graph, "bstore_test", buckets=4)
+    try:
+        loaded = load_graph_bucketed(spark, "bstore_test", cache=False)
+        want_edges = sorted(
+            (r["src"], r["dst"], r["weight"], r["etype"])
+            for r in sf_graph.edges.collect()
+        )
+        got_edges = sorted(
+            (r["src"], r["dst"], r["weight"], r["etype"])
+            for r in loaded.edges.collect()
+        )
+        assert got_edges == want_edges
+
+        want_deg = {
+            r["id"]: r["degree"] for r in degree_centrality(sf_graph).collect()
+        }
+        got_deg = {
+            r["id"]: r["degree"] for r in degree_centrality(loaded).collect()
+        }
+        assert got_deg == want_deg
+
+        # the scale point: src-clustered work plans with no shuffle
+        agg = loaded.edges.groupBy("src").agg(F.sum("weight").alias("w"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bstore_test_vertices")
+        spark.sql("DROP TABLE IF EXISTS bstore_test_edges")
