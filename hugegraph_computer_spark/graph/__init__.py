@@ -10,6 +10,7 @@ from hugegraph_computer_spark.graph.store import (
     ingest,
     load_graph,
     load_graph_bucketed,
+    load_mapping,
     save_graph,
     save_graph_bucketed,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "ingest",
     "load_graph",
     "load_graph_bucketed",
+    "load_mapping",
     "read_transcripts",
     "save_graph",
     "save_graph_bucketed",

@@ -113,13 +113,34 @@ def ingest(
     out_dir: str,
     partitions: int | None = None,
     expand: int = 1,
+    densify: bool = False,
 ) -> Graph:
     """useMode=input end-to-end: derive from the events table and
-    persist; returns the in-session graph too."""
+    persist; returns the in-session graph too.
+
+    densify=True is the 100 TB flow: dictionary-encode string ids to
+    longs ONCE at ingest (R13, measured 2.1x superstep throughput on
+    data-bound graphs — BENCH/BASELINE.md) and persist the id<->long
+    mapping alongside the graph. Persisting also pins the otherwise
+    run-specific assignment durably: every later compute run shares one
+    mapping, and `undensify(result, load_mapping(...))` restores string
+    ids on any per-vertex output."""
     g = Graph.from_transcripts(
         transcripts_from_events(spark, sf_dir, expand=expand),
         partitions=partitions,
         cache=False,
     )
+    if densify:
+        g, mapping = g.densify()
+        mapping.write.mode("overwrite").parquet(os.path.join(out_dir, "mapping"))
     save_graph(g, out_dir)
+    if densify:
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump({"partitions": g.partitions, "densified": True}, f)
     return g
+
+
+def load_mapping(spark: SparkSession, path: str):
+    """The ingest-pinned id<->long mapping (id, nid) for a densified
+    store; feed to `graph.derive.undensify` on per-vertex results."""
+    return spark.read.parquet(os.path.join(path, "mapping"))

@@ -134,6 +134,33 @@ def test_ingest_compute_split(spark, sf_graph, tmp_path):
     assert got_deg == want_deg
 
 
+def test_ingest_densified_store(spark, sf_graph, tmp_path):
+    """densify-at-ingest (the 100 TB flow): the store holds the
+    long-id graph + the pinned mapping; a compute run loads it, runs on
+    long keys, and undensify restores string ids exactly."""
+    from hugegraph_computer_spark.algorithms import degree_centrality
+    from hugegraph_computer_spark.graph import (
+        ingest,
+        load_graph,
+        load_mapping,
+        undensify,
+    )
+
+    store = str(tmp_path / "dense_store")
+    ingest(spark, SF_DIR, store, partitions=4, densify=True)
+    loaded = load_graph(spark, store)
+    mapping = load_mapping(spark, store)
+
+    # long-typed keys end-to-end in the compute run
+    assert dict(loaded.edges.dtypes)["src"] == "bigint"
+    deg_dense = degree_centrality(loaded)
+    deg = undensify(deg_dense, mapping)
+
+    want = {r["id"]: r["degree"] for r in degree_centrality(sf_graph).collect()}
+    got = {r["id"]: r["degree"] for r in deg.collect()}
+    assert got == want
+
+
 def test_bucketed_store_zero_shuffle(spark, sf_graph):
     """Bucketed catalog-table store: same graph back, and src-keyed
     aggregation reads the clustering from the table layout — NO

@@ -151,6 +151,51 @@ def main() -> None:
         )
     )
 
+    # 8. bucketed store: src-keyed agg with NO Exchange at all
+    from hugegraph_computer_spark.graph import (
+        load_graph_bucketed,
+        save_graph_bucketed,
+    )
+
+    save_graph_bucketed(g, "plans_bstore", buckets=8)
+    bucketed = load_graph_bucketed(spark, "plans_bstore", cache=False)
+    sections.append(
+        (
+            "Bucketed graph store (zero-shuffle load + agg)",
+            "The persisted tables are bucketBy(id)/bucketBy(src), so the "
+            "hash clustering is part of the table layout: this "
+            "groupBy(src) aggregation contains NO Exchange node — the "
+            "scan itself satisfies the required distribution. The "
+            "file-based store must repartition on every load; at 100 TB "
+            "the bucketed layout amortizes that shuffle into the one-time "
+            "ingest (Iceberg sorted/bucketed layout on a real cluster).",
+            fmt(bucketed.edges.groupBy("src").agg(F.sum("weight").alias("w"))),
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS plans_bstore_vertices")
+    spark.sql("DROP TABLE IF EXISTS plans_bstore_edges")
+
+    # 9. read_transcripts: name-select keeps projection pushdown intact
+    from hugegraph_computer_spark.graph import read_transcripts
+
+    t = transcripts_from_events(spark, sf)
+    t.write.mode("overwrite").parquet("/tmp/plans_transcripts.parquet")
+    sections.append(
+        (
+            "Transcript source loader (pushdown-preserving)",
+            "read_transcripts validates + casts by NAME over any source "
+            "kind (catalog table / parquet / csv / json / orc); a "
+            "downstream 2-column projection still prunes the parquet scan "
+            "to those columns (ReadSchema) — the canonicalizing select "
+            "does not materialize the full width.",
+            fmt(
+                read_transcripts(spark, "/tmp/plans_transcripts.parquet")
+                .select("conv_id", "turn_idx")
+                .where(F.col("turn_idx") > 0)
+            ),
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write(
