@@ -110,8 +110,11 @@ def _q_pagerank10_csr(spark, sf_dir):
 
 def _q_pagerank_converged(spark, sf_dir):
     g = _graph(spark, sf_dir)
+    n = g.num_vertices
     res = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=100), g)
-    return res.state.select("id", "rank")
+    return res.state.select(
+        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
+    )
 
 
 def _q_wcc(spark, sf_dir):
@@ -497,9 +500,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_weighted": osql.degree_weighted(),
         "pagerank10": osql.pagerank(supersteps=10),
         "pagerank10_csr": osql.pagerank(supersteps=10),
-        # pagerank_converged intentionally omitted: dynamic L1 halt is not
-        # expressible as fixed SQL; correctness is pytest-gated vs the
-        # pure-Python reference oracle (tests/test_algorithms.py).
+        # dynamic L1 halt mirrored in SQL: unrolled steps + first
+        # superstep >= 2 with l1 <= tol selected (PageRank4Master.java
+        # halt rule) — see osql.pagerank_converged
+        "pagerank_converged": osql.pagerank_converged(l1_tol=1e-6, max_steps=40),
         "wcc": osql.wcc(rounds=24),
         "lpa10": osql.lpa(supersteps=10),
         "triangle_count": osql.triangle_count(),

@@ -144,14 +144,15 @@ wdeg AS (SELECT src, sum(coalesce(weight, 1.0)) AS w FROM edges GROUP BY src)
     )
 
 
-def pagerank(supersteps: int = 10, alpha: float = ALPHA) -> str:
-    """Unrolled reference PageRank: superstep 0 init + (supersteps-1)
-    update rounds of PageRank.java:90-92 with previous-round aggregates."""
+def _pagerank_parts(update_rounds: int, alpha: float) -> list[str]:
+    """Shared unroll: s0 init + update_rounds rounds of
+    PageRank.java:90-92 with previous-round aggregates; s{r} is the
+    state after engine superstep r."""
     parts = [
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         "s0 AS MATERIALIZED (SELECT id, outdeg, 1.0 / (SELECT n FROM nn) AS rank FROM outdeg)",
     ]
-    for r in range(supersteps - 1):
+    for r in range(update_rounds):
         parts.append(
             f"a{r} AS MATERIALIZED (SELECT sum(rank) AS cum, "
             f"sum(CASE WHEN outdeg = 0 THEN rank ELSE 0.0 END) AS dang FROM s{r})"
@@ -167,10 +168,54 @@ def pagerank(supersteps: int = 10, alpha: float = ALPHA) -> str:
             f"+ {alpha!r} / (SELECT n FROM nn)) / a.cum AS rank "
             f"FROM s{r} s CROSS JOIN a{r} a LEFT JOIN m{r} m ON s.id = m.id)"
         )
+    return parts
+
+
+def pagerank(supersteps: int = 10, alpha: float = ALPHA) -> str:
+    """Unrolled reference PageRank: superstep 0 init + (supersteps-1)
+    update rounds of PageRank.java:90-92 with previous-round aggregates."""
+    parts = _pagerank_parts(supersteps - 1, alpha)
     final = supersteps - 1
     return _with(
         ",\n".join(parts),
         f"SELECT id, round(rank * (SELECT n FROM nn), 6) AS rank_x_n FROM s{final}",
+    )
+
+
+def pagerank_converged(
+    l1_tol: float = 1e-6, max_steps: int = 40, alpha: float = ALPHA
+) -> str:
+    """Dynamic-halt PageRank — the reference's master halt rule
+    (PageRank4Master.java:99-104: superstep > 1 AND l1 <= threshold)
+    in pure SQL: unroll max_steps update rounds, compute every round's
+    L1 against the previous state, and return the state at the FIRST
+    superstep s >= 2 whose L1 meets the tolerance — exactly the
+    superstep at which the engine's runner halts, so the selected state
+    matches the engine's returned state vertex-for-vertex.
+
+    max_steps bounds the unroll (the gate graph converges at ~20
+    supersteps; the conversation-length cap keeps topology stable
+    across scale factors). If no unrolled step converges the final
+    select yields ZERO rows and the gate fails loudly on row count
+    rather than silently comparing a wrong state."""
+    parts = _pagerank_parts(max_steps - 1, alpha)
+    l1_rows = " UNION ALL ".join(
+        f"SELECT {k} AS step, (SELECT sum(abs(a.rank - b.rank)) "
+        f"FROM s{k} a JOIN s{k - 1} b ON a.id = b.id) AS l1"
+        for k in range(2, max_steps)
+    )
+    parts.append(f"l1s AS MATERIALIZED ({l1_rows})")
+    parts.append(
+        f"halt AS (SELECT min(step) AS hs FROM l1s WHERE l1 <= {l1_tol!r})"
+    )
+    all_states = " UNION ALL ".join(
+        f"SELECT {k} AS step, id, rank FROM s{k}" for k in range(max_steps)
+    )
+    parts.append(f"allst AS ({all_states})")
+    return _with(
+        ",\n".join(parts),
+        "SELECT id, round(rank * (SELECT n FROM nn), 6) AS rank_x_n "
+        "FROM allst WHERE step = (SELECT hs FROM halt)",
     )
 
 
