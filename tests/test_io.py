@@ -9,8 +9,21 @@ import tempfile
 from hugegraph_computer_spark.engine.io import (
     combine_properties,
     csv_output,
+    log_output,
     results_table_output,
 )
+
+
+def test_log_output_prints_rows_and_honors_limit(spark, capsys):
+    """R15 LogOutput/LimitedLogOutput: rows reach the log and the
+    limit caps them (LimitedLogOutput truncation)."""
+    df = spark.createDataFrame(
+        [("v1", 0.5), ("v2", 0.25)], "id string, rank double"
+    )
+    log_output(df.orderBy("id"), limit=1)
+    out = capsys.readouterr().out
+    assert "v1" in out and "0.5" in out
+    assert "v2" not in out  # limited to 1 row
 
 
 def _dups(spark):
