@@ -90,12 +90,27 @@ _STITCH_STATE_SCHEMA = T.StructType(
 )
 
 
+def _duration_ms(spec: str) -> int:
+    """'90 seconds' / '30 minutes' / '2 hours' -> milliseconds."""
+    n, unit = spec.strip().split()
+    mult = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s").lower()]
+    return int(n) * mult
+
+
 def stitch_reply_edges_stream(
     spark: SparkSession,
     transcripts_dir: str,
     edge_store_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    lateness: str = "1 minute",
+    state_timeout: str = "30 minutes",
 ):
     """Reply-edge derivation that SURVIVES conversations split across
     micro-batches: applyInPandasWithState keyed by conv_id remembers
@@ -116,17 +131,59 @@ def stitch_reply_edges_stream(
     ints per live conversation, checkpointed by Structured Streaming's
     state store (RocksDB in prod).
 
+    State is BOUNDED via EventTimeTimeout: each conversation's timeout
+    is re-armed at (its latest event time + `state_timeout`) on every
+    batch that touches it; once the stream's watermark (max event time
+    seen minus `lateness`) passes that, the key times out. On timeout
+    any still-buffered turns are flushed as the lag-chain over the
+    turns that actually arrived (identical to what the batch
+    derivation's `lag` window emits for that partial conversation) and
+    the key is removed — so an abandoned conversation costs zero state
+    after watermark + timeout, and an unbounded stream holds state only
+    for conversations active inside the timeout horizon.
+
     Returns the started StreamingQuery (availableNow trigger)."""
     import pandas as pd
+
+    timeout_ms = _duration_ms(state_timeout)
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(transcripts_dir)
+        .withWatermark("ts", lateness)
     )
+
+    def _edges_frame(conv_id, srcs, dsts):
+        return pd.DataFrame(
+            {
+                "src": srcs,
+                "dst": dsts,
+                "weight": 1.0,
+                "etype": "reply",
+            }
+        )
 
     def stitch(key, pdfs, state):
         conv_id = key[0]
+        if state.hasTimedOut:
+            # Watermark passed this conversation's quiet horizon: emit
+            # the lag-chain over whatever arrived (== batch derivation
+            # on the partial conversation; gaps that never filled are
+            # skipped over exactly like F.lag does) and drop the key.
+            last_turn = state.get[0]
+            pending = sorted(state.get[1] or [])
+            state.remove()
+            srcs, dsts = [], []
+            prev = last_turn
+            for t in pending:
+                if prev >= 0:
+                    srcs.append(f"{conv_id}#{prev:02d}")
+                    dsts.append(f"{conv_id}#{t:02d}")
+                prev = t
+            if srcs:
+                yield _edges_frame(conv_id, srcs, dsts)
+            return
         batches = [p for p in pdfs]
         rows = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
         if rows.empty:
@@ -136,7 +193,17 @@ def stitch_reply_edges_stream(
             pending = set(state.get[1] or [])
         else:
             last_turn, pending = -1, set()
-        pending |= {int(t) for t in rows["turn_idx"] if int(t) > last_turn}
+        turns = {int(t) for t in rows["turn_idx"]}
+        if any(t >= 100 for t in turns):
+            # node ids are formatted ':02d' to match graph/derive.py's
+            # lpad(..., 2); a 3-digit turn would silently diverge from
+            # the batch ids, so fail loudly instead (TURNS_PER_CONV=16
+            # today — this guards the invariant, not a real input)
+            raise ValueError(
+                f"turn_idx >= 100 in conversation {conv_id}: "
+                "node-id format (2-digit lpad) would diverge from batch"
+            )
+        pending |= {t for t in turns if t > last_turn}
         srcs: list[str] = []
         dsts: list[str] = []
         while (last_turn + 1) in pending:
@@ -146,23 +213,25 @@ def stitch_reply_edges_stream(
                 dsts.append(f"{conv_id}#{last_turn + 1:02d}")
             last_turn += 1
         state.update((last_turn, sorted(pending)))
+        # Re-arm eviction at this conversation's latest event time plus
+        # the timeout. Session tz is UTC (session.py) so the naive
+        # pandas timestamp is epoch-UTC, same clock as the watermark;
+        # the max() keeps the call legal (must exceed the watermark)
+        # even for a key fed entirely by late-but-not-dropped rows.
+        wm_ms = state.getCurrentWatermarkMs()
+        ts = rows["ts"].dropna()
+        ev_ms = int(ts.max().timestamp() * 1000) if len(ts) else wm_ms
+        state.setTimeoutTimestamp(max(ev_ms + timeout_ms, wm_ms + 1))
         if not srcs:
             return
-        yield pd.DataFrame(
-            {
-                "src": srcs,
-                "dst": dsts,
-                "weight": 1.0,
-                "etype": "reply",
-            }
-        )
+        yield _edges_frame(conv_id, srcs, dsts)
 
     stitched = stream.groupBy("conv_id").applyInPandasWithState(
         stitch,
         outputStructType=REPLY_EDGE_SCHEMA,
         stateStructType=_STITCH_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout",
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -154,6 +154,105 @@ def test_stitching_out_of_order_and_duplicates(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _write_batch_at(d, name, rows, base_iso):
+    """Like _write_batch but with an explicit event-time base so tests
+    can advance the watermark between micro-batches."""
+    with open(os.path.join(d, name), "w") as f:
+        for (c, i, r, tool) in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "conv_id": c,
+                        "turn_idx": i,
+                        "role": r,
+                        "text": f"t:{c}:{i}",
+                        "tool": tool,
+                        "ts": f"{base_iso}:{7 * i:02d}.000Z",
+                    }
+                )
+                + "\n"
+            )
+
+
+EVICT_A = [  # batch 1: a gap at turn 1 that never fills (abandoned)
+    ("conv_a", 0, "user", "search"),
+    ("conv_a", 2, "user", None),
+]
+EVICT_B = [("conv_b", 0, "user", None), ("conv_b", 1, "assistant", None)]
+EVICT_C = [("conv_c", 0, "user", None), ("conv_c", 1, "assistant", None)]
+
+
+def test_stitching_evicts_idle_conversation_state(spark):
+    """An abandoned conversation must (a) have its buffered turns
+    flushed as the lag-chain over what actually arrived and (b) have
+    its state key REMOVED once the watermark passes its event-time
+    timeout — bounded state on an unbounded stream.
+
+    Timeline (lateness 1 minute, state_timeout 10 minutes):
+      b1 conv_a at 10:00 (turns 0 and 2; turn 1 never arrives)
+      b2 conv_b at 12:00  -> watermark during b2 ~= 09:59 (a alive)
+      b3 conv_c at 14:00  -> watermark during b3 ~= 11:59 > 10:10
+                             => conv_a times out: flush a#00->a#02,
+                                key dropped
+    """
+    import time as _time
+
+    from hugegraph_computer_spark.streaming.incremental import (
+        stitch_reply_edges_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="hcs_evict_")
+    src = os.path.join(base, "in")
+    store = os.path.join(base, "edges")
+    ck = os.path.join(base, "ck")
+    os.makedirs(src)
+    try:
+        _write_batch_at(src, "b1.json", EVICT_A, "2026-01-01T10:00")
+        _write_batch_at(src, "b2.json", EVICT_B, "2026-01-01T12:00")
+        _write_batch_at(src, "b3.json", EVICT_C, "2026-01-01T14:00")
+        now = _time.time()
+        for k, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+            t = now - 60 + 10 * k
+            os.utime(os.path.join(src, name), (t, t))
+        q = stitch_reply_edges_stream(
+            spark, src, store, ck,
+            lateness="1 minute", state_timeout="10 minutes",
+        )
+        q.awaitTermination(180)
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+
+        got = [
+            (r["src"], r["dst"])
+            for r in spark.read.parquet(store).collect()
+        ]
+        # Flush-on-timeout == batch lag-derivation over the turns that
+        # arrived: conv_a's 0->2 edge (skipping the never-filled gap)
+        # can ONLY appear via the timeout path, since the contiguity
+        # drain held it back during data batches.
+        expected = {
+            (r["src"], r["dst"])
+            for r in derive_edges(
+                make_transcripts(spark, EVICT_A + EVICT_B + EVICT_C)
+            )
+            .where(F.col("etype") == "reply")
+            .collect()
+        }
+        assert len(got) == len(set(got))
+        assert set(got) == expected
+        assert ("conv_a#00", "conv_a#02") in set(got)
+        # State bound: after conv_a's timeout fired its key is gone —
+        # the final batch reports at most conv_b + conv_c live keys
+        # (never 3), and at least one earlier batch removed a row.
+        final_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+        assert final_rows <= 2
+        removed = sum(
+            p["stateOperators"][0].get("numRowsRemoved", 0) for p in progress
+        )
+        assert removed >= 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_ingest_matches_batch(spark):
     base = tempfile.mkdtemp(prefix="hcs_stream_")
     src = os.path.join(base, "in")
