@@ -97,6 +97,16 @@ def parse_query_graph(
             )
     if not pattern:
         raise ValueError("query graph must have at least one edge")
+    in_pattern = {v for e in pattern for v in (e[0], e[1])}
+    orphans = sorted(set(vconstraints) - in_pattern)
+    if orphans:
+        # QueryGraph semantics: every declared vertex is a match
+        # variable; silently dropping one would also drop its
+        # label/property constraints (QueryGraph.java:44-82)
+        raise ValueError(
+            f"declared vertices {orphans} appear in no pattern edge; "
+            "every vertex describe must be connected"
+        )
     return vconstraints, pattern
 
 

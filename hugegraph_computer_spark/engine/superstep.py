@@ -121,6 +121,10 @@ class PregelRunner:
         self.state_mode = state_mode or os.environ.get(
             "SPARK_GRAFT_STATE_MODE", "lazy"
         )
+        if self.state_mode not in ("lazy", "aqe"):
+            raise ValueError(
+                f"state_mode must be 'lazy' or 'aqe', got {self.state_mode!r}"
+            )
 
     # -- materialization -------------------------------------------------
     def _materialize(self, df: DataFrame) -> DataFrame:

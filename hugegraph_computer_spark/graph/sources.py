@@ -81,7 +81,19 @@ def read_transcripts(
         fmt = "table" if looks_like_table else _infer_file_format(source)
 
     if fmt == "table":
-        df = spark.read.table(source)
+        try:
+            df = spark.read.table(source)
+        except Exception as e:
+            # inference falls through to the catalog for any name with
+            # no '/', no recognized extension, and no local file — a
+            # mistyped path lands here, so say how to disambiguate
+            raise ValueError(
+                f"transcript source {source!r} resolved as a catalog "
+                "table and lookup failed; if it is a file path, pass "
+                "fmt='parquet'/'csv'/'json'/'orc' (or give a path that "
+                "exists); if it is a table, the 'table:' prefix makes "
+                f"the intent explicit. Catalog error: {e}"
+            ) from e
     elif fmt == "parquet":
         df = spark.read.parquet(source)
     elif fmt == "orc":

@@ -109,3 +109,14 @@ def test_salted_aggregate_matches_plain(sf_graph):
     }
     assert plain.keys() == salted.keys()
     assert all(abs(plain[k] - salted[k]) < 1e-9 for k in plain)
+
+
+def test_runner_rejects_unknown_state_mode():
+    """A typo'd SPARK_GRAFT_STATE_MODE must error, not silently fall
+    back to 'lazy' (a benchmark would mis-attribute its measurement)."""
+    import pytest
+
+    from hugegraph_computer_spark.engine.superstep import PregelRunner
+
+    with pytest.raises(ValueError, match="state_mode"):
+        PregelRunner(state_mode="age")

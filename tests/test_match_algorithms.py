@@ -252,3 +252,23 @@ def test_betweenness_brandes_on_cycles(spark):
     got = {r["id"]: r["betweenness"] for r in betweenness_brandes(g).collect()}
     for v in expected:
         assert abs(got[v] - expected[v]) < 1e-9, v
+
+
+def test_parse_query_graph_rejects_orphan_vertex():
+    """A declared vertex referenced by no edge must raise — silently
+    dropping it would drop its constraints (QueryGraph.java:44-82)."""
+    import json
+
+    import pytest
+
+    from hugegraph_computer_spark.algorithms.subgraph import parse_query_graph
+
+    describe = json.dumps(
+        [
+            {"id": "a", "label": "turn", "edges": [{"targetId": "b", "label": "*"}]},
+            {"id": "b", "label": "turn"},
+            {"id": "orphan", "label": "tool", "property_filter": "name = 'sql'"},
+        ]
+    )
+    with pytest.raises(ValueError, match="orphan"):
+        parse_query_graph(describe)

@@ -36,11 +36,10 @@ def run_leg(densify: bool) -> dict:
         env=env,
         cwd=REPO,
     )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    leg = json.loads(line)
     if proc.returncode != 0:
         raise RuntimeError(f"leg densify={densify} failed:\n{proc.stderr[-2000:]}")
-    return leg
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
