@@ -88,6 +88,10 @@ def _q_degree_weighted(spark, sf_dir):
     )
 
 
+def _q_degree_in(spark, sf_dir):
+    return degree_centrality(_graph(spark, sf_dir).in_direction())
+
+
 def _q_pagerank10(spark, sf_dir):
     g = _graph(spark, sf_dir)
     n = g.num_vertices
@@ -451,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nodes": _q_nodes,
         "degree_centrality": _q_degree,
         "degree_weighted": _q_degree_weighted,
+        "degree_in": _q_degree_in,
         "pagerank10": _q_pagerank10,
         "pagerank10_csr": _q_pagerank10_csr,  # CSR-block gather variant
         "pagerank_converged": _q_pagerank_converged,  # rows-only (dynamic halt)
@@ -498,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "nodes": osql.nodes_query(),
         "degree_centrality": osql.degree_centrality(),
         "degree_weighted": osql.degree_weighted(),
+        "degree_in": osql.degree_in(),
         "pagerank10": osql.pagerank(supersteps=10),
         "pagerank10_csr": osql.pagerank(supersteps=10),
         # dynamic L1 halt mirrored in SQL: unrolled steps + first

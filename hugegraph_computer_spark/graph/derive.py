@@ -251,6 +251,21 @@ class Graph:
         ).withColumn("inv", F.lit(True))
         return Graph(self.vertices, fwd.unionByName(rev), self.partitions, self._nv)
 
+    def in_direction(self) -> "Graph":
+        """`input.edge_direction=IN` loader view
+        (ComputerOptions.java:147-156): each stored edge is attached to
+        its TARGET vertex only — the edge list becomes dst->src with no
+        forward copy (contrast both_direction, which keeps both). A
+        column swap, zero extra scans; re-partitioned on the new src so
+        downstream scatter joins stay co-located."""
+        others = [c for c in self.edges.columns if c not in ("src", "dst")]
+        rev = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *others
+        )
+        if self.partitions:
+            rev = rev.repartition(self.partitions, "src")
+        return Graph(self.vertices, rev, self.partitions, self._nv)
+
     def undirected_single(self) -> "Graph":
         """Symmetrized, (src,dst)-deduped, self-loop-free view — the
         TriangleCount/ClusteringCoefficient input (bothdirection=true +

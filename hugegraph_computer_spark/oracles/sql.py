@@ -144,6 +144,19 @@ wdeg AS (SELECT src, sum(coalesce(weight, 1.0)) AS w FROM edges GROUP BY src)
     )
 
 
+def degree_in() -> str:
+    """degree_centrality over the `input.edge_direction=IN` loader view
+    (Graph.in_direction, ComputerOptions.java:147-156): the edge list is
+    dst->src, so the out-degree of the view is the in-degree of the
+    stored graph."""
+    extra = "indeg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)"
+    return _with(
+        extra,
+        "SELECT n.id, CAST(coalesce(i.d, 0) AS DOUBLE) AS degree "
+        "FROM nodes n LEFT JOIN indeg i ON n.id = i.dst",
+    )
+
+
 def _pagerank_parts(update_rounds: int, alpha: float) -> list[str]:
     """Shared unroll: s0 init + update_rounds rounds of
     PageRank.java:90-92 with previous-round aggregates; s{r} is the

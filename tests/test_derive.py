@@ -201,3 +201,32 @@ def test_bucketed_store_zero_shuffle(spark, sf_graph):
     finally:
         spark.sql("DROP TABLE IF EXISTS bstore_test_vertices")
         spark.sql("DROP TABLE IF EXISTS bstore_test_edges")
+
+
+def test_in_direction_swaps_edges(sf_graph):
+    """edge_direction=IN view: edge multiset is exactly the stored
+    multiset with endpoints swapped, no forward copies, extra columns
+    (weight, etype) carried through."""
+    from pyspark.sql import functions as F
+
+    g_in = sf_graph.in_direction()
+    assert g_in.edges.columns == sf_graph.edges.columns
+    fwd = sorted(
+        (r["src"], r["dst"], r["weight"], r["etype"])
+        for r in sf_graph.edges.collect()
+    )
+    rev = sorted(
+        (r["dst"], r["src"], r["weight"], r["etype"])
+        for r in g_in.edges.collect()
+    )
+    assert fwd == rev
+    # in-degree of the stored graph == out-degree of the IN view
+    indeg = {
+        r["src"]: r["cnt"]
+        for r in g_in.edges.groupBy("src").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    stored = {
+        r["dst"]: r["cnt"]
+        for r in sf_graph.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert indeg == stored
