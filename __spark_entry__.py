@@ -448,6 +448,25 @@ def _q_multimodal_png(spark, sf_dir):
     )
 
 
+def _q_multimodal_wav(spark, sf_dir):
+    # REAL decode: walk RIFF/fmt/data chunks from actual WAV bytes; the
+    # oracle emits the generator's ground truth by arithmetic
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        synth_media,
+        wav_metadata,
+    )
+
+    return (
+        wav_metadata(synth_media(spark, n=64))
+        .where(F.col("mime") == "audio/wav")
+        .select(
+            "media_id", "mime", "sample_rate", "channels",
+            "bits_per_sample", "n_samples",
+            F.round("duration_ms", 6).alias("duration_ms"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_derivation": _q_transcripts,
@@ -493,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "multimodal_features": _q_multimodal,  # rows-only (synth media table)
         "multimodal_png": _q_multimodal_png,  # real IHDR decode, value-oracled
+        "multimodal_wav": _q_multimodal_wav,  # real RIFF decode, value-oracled
     }
 
 
@@ -543,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         # payloads DuckDB cannot reproduce. multimodal_png IS value-
         # oracled: the generator's ground truth is media_id arithmetic.
         "multimodal_png": osql.multimodal_png(n=64),
+        "multimodal_wav": osql.multimodal_wav(n=64),
         "ann_topk": osql.ann_topk(n_queries=5, k=10),
         "ann_topk_ivf": osql.ann_topk_ivf(n_queries=5, k=10, n_clusters=4),
         "cosine_neardup": osql.cosine_neardup_lsh(threshold=0.4, n_planes=6),

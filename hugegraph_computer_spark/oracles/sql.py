@@ -766,6 +766,25 @@ def multimodal_png(n: int = 64) -> str:
     )
 
 
+def multimodal_wav(n: int = 64) -> str:
+    """Ground-truth oracle for the REAL WAV chunk decode: DuckDB cannot
+    parse RIFF bytes, but the synth generator's parameters are
+    arithmetic in media_id (pipeline/multimodal.synth_media: wav rows
+    are i % 3 == 1, sample_rate 8000 + 1000*(i%5), channels 1 + i%2,
+    PCM-16, n_samples 40 + i%9), so the expected table needs no
+    decoding. The Spark side must recover exactly these values from the
+    actual fmt/data chunks."""
+    return (
+        f"SELECT CAST(i AS BIGINT) AS media_id, 'audio/wav' AS mime, "
+        f"CAST(8000 + 1000 * (i % 5) AS INTEGER) AS sample_rate, "
+        f"CAST(1 + i % 2 AS INTEGER) AS channels, "
+        f"CAST(16 AS INTEGER) AS bits_per_sample, "
+        f"CAST(40 + i % 9 AS BIGINT) AS n_samples, "
+        f"round(1000.0 * (40 + i % 9) / (8000 + 1000 * (i % 5)), 6) AS duration_ms "
+        f"FROM range(0, {n}) t(i) WHERE i % 3 = 1"
+    )
+
+
 def degree_capped(n: int = 2) -> str:
     """degree_centrality over a graph with out-edges capped at n per
     vertex (input.limit_edges_in_one_vertex, ComputerOptions.java:

@@ -8,12 +8,16 @@ Decode status per mime:
   struct+zlib only). Oracle-verifiable: the generator's ground-truth
   dimensions are arithmetic in media_id, so DuckDB can emit the
   expected table without decoding.
-- audio/video: the container ships no codecs, so their decode remains
-  a clearly-marked stub (deterministic fake features keyed on the
+- audio/wav: REAL — synth payloads are valid PCM-16 RIFF files and
+  `parse_wav_header` / `wav_metadata` walk the actual chunk list
+  (stdlib struct only) for sample_rate/channels/bits/frames. Oracle-
+  verifiable the same way as PNG: the generator's parameters are
+  arithmetic in media_id.
+- video: the container ships no codecs, so its decode remains a
+  clearly-marked stub (deterministic fake features keyed on the
   payload hash); the Spark-side plumbing — schema, binary columns,
   mapInPandas batch shape, partitioning — is real and tested either
-  way. Swapping `_decode_stub` for librosa/ffmpeg does not touch the
-  plan.
+  way. Swapping `_decode_stub` for ffmpeg does not touch the plan.
 
 Scale notes: binary payloads ride the shuffle as-is; feature extraction
 is mapInPandas (one Arrow batch per ~10k rows, no per-row Python);
@@ -96,17 +100,82 @@ def parse_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return width, height, bit_depth, color_type
 
 
+def make_wav(
+    sample_rate: int, channels: int, n_samples: int, seed: int = 0
+) -> bytes:
+    """A minimal VALID PCM-16 WAV (RIFF + fmt + data chunks, correct
+    sizes) built with stdlib struct only. Sample values are a
+    deterministic function of (seed, frame, channel) so payloads differ
+    per media row."""
+    bits = 16
+    block_align = channels * bits // 8
+    frames = b"".join(
+        struct.pack("<h", ((seed + 37 * f + 101 * c) % 65536) - 32768)
+        for f in range(n_samples)
+        for c in range(channels)
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(
+    payload: bytes,
+) -> tuple[int, int, int, int] | None:
+    """REAL decode of the RIFF/fmt/data chunk structure: returns
+    (sample_rate, channels, bits_per_sample, n_samples) — n_samples is
+    per-channel frames, data_len / block_align — or None if the payload
+    is not a PCM WAV. Walks the chunk list properly (word-aligned, any
+    chunk order, unknown chunks skipped)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        tag, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data_len = len(body)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None or fmt[0] != 1:  # PCM only
+        return None
+    _, channels, sample_rate, _, block_align, bits = fmt
+    if block_align == 0:
+        return None
+    return sample_rate, channels, bits, data_len // block_align
+
+
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic media table for tests: image/png rows carry REAL
     PNG payloads (dimensions are ground-truth arithmetic in media_id:
-    width 64 + i%8, height 48 + i%5); audio/video rows carry seeded
-    opaque bytes (no codecs in the container)."""
+    width 64 + i%8, height 48 + i%5); audio/wav rows carry REAL PCM-16
+    WAV payloads (sample_rate 8000 + 1000*(i%5), channels 1 + i%2,
+    n_samples 40 + i%9 — also arithmetic in media_id, so the oracle can
+    emit ground truth without decoding); video rows carry seeded opaque
+    bytes (no codecs in the container)."""
     rows = []
     for i in range(n):
         mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
         w, h = 64 + i % 8, 48 + i % 5
         if mime == "image/png":
             payload = make_png(w, h, seed=i)
+        elif mime == "audio/wav":
+            payload = make_wav(
+                sample_rate=8000 + 1000 * (i % 5),
+                channels=1 + i % 2,
+                n_samples=40 + i % 9,
+                seed=i,
+            )
         else:
             payload = hashlib.sha256(f"media:{i}".encode()).digest() * (4 + i % 3)
         rows.append((i, mime, w, h, bytearray(payload)))
@@ -184,6 +253,56 @@ def png_metadata(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "mime", "payload").mapInPandas(
         batches, schema=PNG_META_SCHEMA
+    )
+
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+    ]
+)
+
+
+def wav_metadata(media: DataFrame) -> DataFrame:
+    """REAL audio decode step: parse sample_rate/channels/bits/frames
+    out of each WAV payload's RIFF+fmt+data chunks (not the declared
+    metadata columns) via Arrow-batched mapInPandas. Non-WAV payloads
+    yield NULLs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_wav_header(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "sample_rate": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [1000.0 * p[3] / p[0] if p else None for p in parsed],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        batches, schema=WAV_META_SCHEMA
     )
 
 

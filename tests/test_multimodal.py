@@ -6,6 +6,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hugegraph_computer_spark.pipeline.multimodal import (
+    make_wav,
+    parse_wav_header,
+    wav_metadata,
     extract_features,
     frame_sample_plan,
     make_png,
@@ -57,3 +60,42 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(synth_media(spark, n=12), every_n=2)
     rows = plan.collect()
     assert rows and all(r["frame_idx"] % 2 == 0 for r in rows)
+
+
+def test_wav_roundtrip_pure():
+    """make_wav produces a valid PCM-16 RIFF file whose chunks parse
+    back exactly, including stereo block alignment and word-aligned
+    unknown-chunk skipping."""
+    b = make_wav(sample_rate=11025, channels=2, n_samples=37, seed=3)
+    assert parse_wav_header(b) == (11025, 2, 16, 37)
+    assert len(b) == 44 + 37 * 2 * 2  # canonical header + frames
+    assert parse_wav_header(b"RIFFxxxx") is None
+    assert parse_wav_header(b"not audio at all") is None
+    # an extra odd-length chunk between fmt and data must be skipped
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = b[:fmt_end] + extra + b[fmt_end:]
+    head = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert parse_wav_header(head) == (11025, 2, 16, 37)
+
+
+def test_wav_metadata_matches_generator(spark):
+    """The Spark decode path recovers the generator's ground-truth
+    parameters from the actual bytes (the multimodal_wav gate oracle)."""
+    media = synth_media(spark, n=24)
+    got = {
+        r["media_id"]: (
+            r["sample_rate"], r["channels"], r["bits_per_sample"], r["n_samples"]
+        )
+        for r in wav_metadata(media).where(F.col("mime") == "audio/wav").collect()
+    }
+    assert got == {
+        i: (8000 + 1000 * (i % 5), 1 + i % 2, 16, 40 + i % 9)
+        for i in range(24)
+        if i % 3 == 1
+    }
+    # non-WAV payloads decode to NULLs, not errors
+    other = wav_metadata(media).where(F.col("mime") != "audio/wav").collect()
+    assert other and all(r["sample_rate"] is None for r in other)
