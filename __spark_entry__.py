@@ -112,6 +112,22 @@ def _q_pagerank10_csr(spark, sf_dir):
     )
 
 
+def _q_pagerank10_dense(spark, sf_dir):
+    # the documented 100 TB flow end-to-end AT THE GATE: dictionary-
+    # encode ids to longs (R13), run the superstep loop on 8-byte keys,
+    # decode on output — must hash-match the same oracle as pagerank10
+    from hugegraph_computer_spark.graph.derive import undensify
+
+    g = _graph(spark, sf_dir)
+    n = g.num_vertices
+    dense, mapping = g.densify()
+    res = PregelRunner().run(PageRank(l1_tol=0.0, max_supersteps=10), dense)
+    out = undensify(res.state.select("id", "rank"), mapping)
+    return out.select(
+        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
+    )
+
+
 def _q_pagerank_converged(spark, sf_dir):
     g = _graph(spark, sf_dir)
     n = g.num_vertices
@@ -477,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_in": _q_degree_in,
         "pagerank10": _q_pagerank10,
         "pagerank10_csr": _q_pagerank10_csr,  # CSR-block gather variant
+        "pagerank10_dense": _q_pagerank10_dense,  # dense-id round-trip (R13)
         "pagerank_converged": _q_pagerank_converged,  # rows-only (dynamic halt)
         "wcc": _q_wcc,
         "lpa10": _q_lpa10,
@@ -526,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_in": osql.degree_in(),
         "pagerank10": osql.pagerank(supersteps=10),
         "pagerank10_csr": osql.pagerank(supersteps=10),
+        "pagerank10_dense": osql.pagerank(supersteps=10),
         # dynamic L1 halt mirrored in SQL: unrolled steps + first
         # superstep >= 2 with l1 <= tol selected (PageRank4Master.java
         # halt rule) — see osql.pagerank_converged

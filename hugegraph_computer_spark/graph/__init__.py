@@ -8,9 +8,11 @@ from hugegraph_computer_spark.graph.derive import (
 from hugegraph_computer_spark.graph.sources import read_transcripts
 from hugegraph_computer_spark.graph.store import (
     ingest,
+    ingest_bucketed,
     load_graph,
     load_graph_bucketed,
     load_mapping,
+    load_mapping_bucketed,
     save_graph,
     save_graph_bucketed,
 )
@@ -20,9 +22,11 @@ __all__ = [
     "derive_edges",
     "derive_nodes",
     "ingest",
+    "ingest_bucketed",
     "load_graph",
     "load_graph_bucketed",
     "load_mapping",
+    "load_mapping_bucketed",
     "read_transcripts",
     "save_graph",
     "save_graph_bucketed",

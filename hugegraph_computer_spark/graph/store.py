@@ -140,6 +140,44 @@ def ingest(
     return g
 
 
+def ingest_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table_prefix: str,
+    buckets: int | None = None,
+    partitions: int | None = None,
+    expand: int = 1,
+    densify: bool = False,
+) -> Graph:
+    """The one-call 100 TB ingest: derive once, optionally
+    dictionary-encode ids to longs (R13: 2.1x superstep throughput on
+    data-bound graphs — BENCH/BASELINE.md), and persist as BUCKETED
+    catalog tables so every later compute run starts hash-clustered
+    with dense 8-byte keys and zero load-time Exchange. The pinned
+    id<->long mapping lands in `{table_prefix}_mapping`; feed it to
+    `graph.derive.undensify` on per-vertex outputs."""
+    g = Graph.from_transcripts(
+        transcripts_from_events(spark, sf_dir, expand=expand),
+        partitions=partitions,
+        cache=False,
+    )
+    if densify:
+        g, mapping = g.densify()
+        (
+            mapping.write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_mapping")
+        )
+    save_graph_bucketed(g, table_prefix, buckets=buckets)
+    return g
+
+
+def load_mapping_bucketed(spark: SparkSession, table_prefix: str):
+    """The ingest-pinned id<->long mapping (id, nid) of a densified
+    bucketed store."""
+    return spark.read.table(f"{table_prefix}_mapping")
+
+
 def load_mapping(spark: SparkSession, path: str):
     """The ingest-pinned id<->long mapping (id, nid) for a densified
     store; feed to `graph.derive.undensify` on per-vertex results."""

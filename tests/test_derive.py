@@ -230,3 +230,60 @@ def test_in_direction_swaps_edges(sf_graph):
         for r in sf_graph.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert indeg == stored
+
+
+def test_dense_bucketed_ingest_feeds_pagerank(spark):
+    """The combined 100 TB flow in one call: ingest_bucketed(densify=
+    True) writes long-id bucketed tables + the pinned mapping; a
+    compute run loads them shuffle-free on the scan side, runs
+    PageRank on 8-byte keys, and undensify restores string ids with
+    results identical to the string-id run."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_computer_spark.algorithms import PageRank
+    from hugegraph_computer_spark.engine import PregelRunner
+    from hugegraph_computer_spark.graph import (
+        Graph,
+        ingest_bucketed,
+        load_graph_bucketed,
+        load_mapping_bucketed,
+        transcripts_from_events,
+    )
+    from hugegraph_computer_spark.graph.derive import undensify
+
+    prefix = "dbstore_test"
+    try:
+        ingest_bucketed(
+            spark, "/root/testdata/sf0.001", prefix, buckets=4, densify=True
+        )
+        dense = load_graph_bucketed(spark, prefix, cache=False)
+        assert dict(dense.vertices.dtypes)["id"] == "bigint"
+        assert dict(dense.edges.dtypes)["src"] == "bigint"
+
+        # scan-side clustering: src-keyed agg over the DENSE table
+        # plans without any Exchange
+        agg = dense.edges.groupBy("src").agg(F.sum("weight").alias("w"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        res = PregelRunner().run(PageRank(l1_tol=0.0, max_supersteps=4), dense)
+        mapping = load_mapping_bucketed(spark, prefix)
+        got = {
+            r["id"]: round(r["rank"], 10)
+            for r in undensify(res.state.select("id", "rank"), mapping).collect()
+        }
+
+        g = Graph.from_transcripts(
+            transcripts_from_events(spark, "/root/testdata/sf0.001"), partitions=4
+        )
+        want = {
+            r["id"]: round(r["rank"], 10)
+            for r in PregelRunner()
+            .run(PageRank(l1_tol=0.0, max_supersteps=4), g)
+            .state.select("id", "rank")
+            .collect()
+        }
+        assert got == want
+    finally:
+        for t in ("vertices", "edges", "mapping"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
