@@ -32,7 +32,100 @@ from hugegraph_computer_spark.graph import Graph, transcripts_from_events
 from hugegraph_computer_spark.session import get_spark
 
 
+def _read_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — host CPU steal is
+    the dominant run-over-run noise on this oversubscribed sandbox
+    (BENCH/BASELINE.md measurement-validity notes)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return (vals[7] if len(vals) > 7 else 0, sum(vals))
+
+
+def _multi_leg(n_legs: int) -> None:
+    """Min-wall protocol for the suite itself: run `n_legs` FRESH-JVM
+    legs sequentially (never two Spark processes at once), record each
+    leg's host-steal exposure, and report per-query MINIMA — the
+    least-stolen observation of each query, the same protocol the
+    scaling legs already use. One JSON line on stdout, per-leg progress
+    on stderr."""
+    import subprocess
+
+    legs = []
+    for i in range(n_legs):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_LEG="1")
+        s0, t0 = _read_steal()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        s1, t1 = _read_steal()
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench leg {i + 1}/{n_legs} failed rc={proc.returncode}:\n"
+                f"{proc.stderr[-4000:]}"
+            )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        rec["steal_pct_capacity"] = round(
+            100.0 * (s1 - s0) / max(1, t1 - t0), 2
+        )
+        legs.append(rec)
+        print(
+            json.dumps(
+                {
+                    "leg": i + 1,
+                    "value": rec["value"],
+                    "queries": rec["queries"],
+                    "steal_pct_capacity": rec["steal_pct_capacity"],
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+
+    base = min(legs, key=lambda r: r["value"])
+    qmins = {q: min(r["queries"][q] for r in legs) for q in legs[0]["queries"]}
+    out = dict(base)
+    out["queries"] = {q: round(v, 3) for q, v in qmins.items()}
+    out["value"] = round(sum(qmins.values()), 3)
+    pr = qmins.get("pagerank_1e6")
+    if pr:
+        # throughput extras recomputed from the min wall
+        out["pagerank_supersteps_per_min"] = round(
+            base["pagerank_supersteps"] / pr * 60.0, 3
+        )
+        out["pagerank_edges_per_sec"] = round(
+            base["edges"] * base["pagerank_supersteps"] / pr, 3
+        )
+    out["protocol"] = (
+        f"per-query minima over {n_legs} sequential fresh-JVM legs "
+        "(min-wall host-steal hygiene)"
+    )
+    out["legs"] = [
+        {
+            "value": r["value"],
+            "queries": r["queries"],
+            "steal_pct_capacity": r["steal_pct_capacity"],
+        }
+        for r in legs
+    ]
+    print(json.dumps(out))
+
+
 def main() -> None:
+    # Multi-leg wrapper: the full suite defaults to 3 fresh-JVM legs
+    # with per-query minima; pagerank-only legs (densify_ab /
+    # scaling_report do their own repeats) stay single unless asked.
+    in_leg = bool(os.environ.get("SPARK_GRAFT_BENCH_LEG"))
+    default_legs = "1" if (in_leg or os.environ.get("SPARK_GRAFT_ONLY")) else "3"
+    n_legs = int(os.environ.get("SPARK_GRAFT_LEGS", default_legs))
+    if n_legs > 1 and not in_leg:
+        _multi_leg(n_legs)
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "1"))
