@@ -1,3 +1,8 @@
+from hugegraph_computer_spark.engine.driver import (
+    ComputerDriver,
+    JobHandle,
+    JobStatus,
+)
 from hugegraph_computer_spark.engine.superstep import (
     PregelRunner,
     RunResult,
@@ -5,4 +10,12 @@ from hugegraph_computer_spark.engine.superstep import (
     VertexProgram,
 )
 
-__all__ = ["PregelRunner", "RunResult", "StepOutput", "VertexProgram"]
+__all__ = [
+    "ComputerDriver",
+    "JobHandle",
+    "JobStatus",
+    "PregelRunner",
+    "RunResult",
+    "StepOutput",
+    "VertexProgram",
+]

@@ -181,7 +181,13 @@ class PregelRunner:
         program: VertexProgram,
         g,
         resume_from: str | None = None,
+        on_superstep: Callable[[dict], None] | None = None,
     ) -> RunResult:
+        """`on_superstep` is invoked with each superstep's metrics dict
+        right after the step completes — the worker->master per-step
+        stats report (WorkerService.java:329-338). Raising from it
+        aborts the loop between supersteps (the driver's cooperative
+        cancel point)."""
         spark = g.vertices.sparkSession
         history: list[dict[str, Any]] = []
         t_run0 = time.monotonic()
@@ -290,6 +296,8 @@ class PregelRunner:
                 },
             }
             history.append(step_metrics)
+            if on_superstep is not None:
+                on_superstep(step_metrics)
 
             finished = self._finished(program, s, aggs)
             if self.checkpoint_dir and (

@@ -1,0 +1,101 @@
+"""ComputerDriver job-lifecycle tests: submit/wait/status/cancel with
+live superstep stats (reference ComputerDriver.java / JobStatus.java
+parity)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from hugegraph_computer_spark.algorithms import PageRank
+from hugegraph_computer_spark.engine import (
+    ComputerDriver,
+    JobStatus,
+    PregelRunner,
+    StepOutput,
+    VertexProgram,
+)
+
+
+def test_submit_wait_succeeds_with_live_stats(sf_graph):
+    driver = ComputerDriver()
+    h = driver.submit(PageRank(l1_tol=0.0, max_supersteps=6), sf_graph)
+    assert driver.job_status(h.job_id) in (
+        JobStatus.INITIALIZING,
+        JobStatus.RUNNING,
+    )
+    assert h.wait(300) == JobStatus.SUCCEEDED
+    assert h.status.is_terminal
+    stats = h.superstep_stats
+    assert len(stats) == 6 == h.result.supersteps
+    assert [m["superstep"] for m in stats] == list(range(6))
+    assert all("seconds" in m and "state_rows" in m for m in stats)
+    total = h.result.state.groupBy().sum("rank").collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    assert driver.jobs()[h.job_id] == JobStatus.SUCCEEDED
+
+
+def test_cancel_between_supersteps(sf_graph):
+    """cancel() is honored at the next superstep boundary: the job ends
+    CANCELLED with fewer supersteps than the cap and no result."""
+    driver = ComputerDriver()
+    h = driver.submit(PageRank(l1_tol=0.0, max_supersteps=80), sf_graph)
+    deadline = time.monotonic() + 240
+    while len(h.superstep_stats) < 2 and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert len(h.superstep_stats) >= 2, "job never started producing stats"
+    driver.cancel_job(h.job_id)
+    assert h.wait(240) == JobStatus.CANCELLED
+    assert h.result is None
+    assert len(h.superstep_stats) < 80
+
+
+class _Exploding(VertexProgram):
+    name = "exploding"
+    max_supersteps = 5
+
+    def superstep0(self, g):
+        from pyspark.sql import functions as F
+
+        return StepOutput(
+            state=g.vertices,
+            make_messages=lambda st: st.select(
+                F.col("id").alias("dst"), F.lit(1.0).alias("msg")
+            ),
+        )
+
+    def superstep(self, s, g, state, messages, aggs):
+        raise RuntimeError("boom at superstep %d" % s)
+
+
+def test_failed_job_reports_error(sf_graph):
+    driver = ComputerDriver()
+    h = driver.submit(_Exploding(), sf_graph)
+    assert h.wait(240) == JobStatus.FAILED
+    assert isinstance(h.error, RuntimeError)
+    assert h.result is None
+
+
+def test_runner_rejects_callback_reuse_semantics(sf_graph):
+    """on_superstep is also a plain PregelRunner feature: collected
+    metrics equal RunResult.history."""
+    seen = []
+    res = PregelRunner().run(
+        PageRank(l1_tol=0.0, max_supersteps=3),
+        sf_graph,
+        on_superstep=seen.append,
+    )
+    assert seen == res.history
+
+
+def test_job_status_enum_terminality():
+    assert not JobStatus.RUNNING.is_terminal
+    assert not JobStatus.INITIALIZING.is_terminal
+    for s in (JobStatus.SUCCEEDED, JobStatus.FAILED, JobStatus.CANCELLED):
+        assert s.is_terminal
+
+
+def test_unknown_job_id_raises():
+    with pytest.raises(KeyError):
+        ComputerDriver().job_status("nope")
