@@ -215,6 +215,13 @@ class PregelRunner:
             aggs = {}
             finished = False
 
+        # SPARK_GRAFT_STEP_PROFILE=1: record per-phase walls inside each
+        # superstep (plan build / lineage-cut call / action / messages)
+        # to attribute the fixed per-step floor — the lazy
+        # localCheckpoint converts the plan to an RDD at CALL time, so
+        # its cost shows up in "checkpoint", not "action".
+        profile = bool(os.environ.get("SPARK_GRAFT_STEP_PROFILE"))
+
         while not finished:
             t0 = time.monotonic()
             if s < 0:
@@ -223,6 +230,7 @@ class PregelRunner:
             else:
                 s += 1
                 out = program.superstep(s, g, state, messages, aggs)
+            t_plan = time.monotonic()
 
             # Materialization strategy (keeps Spark jobs/superstep at 1-2
             # and cached bytes at ~1 state copy):
@@ -257,11 +265,14 @@ class PregelRunner:
             if self.state_mode == "aqe":
                 cached = out.state.persist()
                 row = cached.agg(*exprs).collect()[0]
+                t_ckpt = t_action = time.monotonic()
                 new_state = cached.localCheckpoint(eager=True)
                 cached.unpersist()
             else:
                 new_state = out.state.localCheckpoint(eager=False)
+                t_ckpt = time.monotonic()
                 row = new_state.agg(*exprs).collect()[0]
+                t_action = time.monotonic()
             new_msgs = None
             if out.make_messages is not None:
                 new_msgs = out.make_messages(new_state)
@@ -286,15 +297,23 @@ class PregelRunner:
             prev_state, prev_msgs = state, messages
             state, messages = new_state, new_msgs
 
+            t_end = time.monotonic()
             step_metrics = {
                 "superstep": s,
-                "seconds": time.monotonic() - t0,
+                "seconds": t_end - t0,
                 "messages": aggs[MSG_COUNT],
                 "state_rows": int(aggs["_state_rows"]),
                 "aggregates": {
                     k: aggs[k] for k in out.agg_exprs
                 },
             }
+            if profile:
+                step_metrics["phase_seconds"] = {
+                    "plan": round(t_plan - t0, 4),
+                    "checkpoint": round(t_ckpt - t_plan, 4),
+                    "action": round(t_action - t_ckpt, 4),
+                    "messages": round(t_end - t_action, 4),
+                }
             history.append(step_metrics)
             if on_superstep is not None:
                 on_superstep(step_metrics)
