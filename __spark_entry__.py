@@ -128,6 +128,41 @@ def _q_pagerank10_dense(spark, sf_dir):
     )
 
 
+def _q_pagerank10_store(spark, sf_dir):
+    # the documented 100 TB STORE flow end-to-end AT THE GATE: one-call
+    # ingest_bucketed(densify=True) writes dense-id bucketBy(src/id)
+    # catalog tables + the pinned mapping (useMode=input); the compute
+    # run loads them WITHOUT any load-time Exchange (asserted on the
+    # actual plan below), runs the superstep loop on 8-byte keys, and
+    # undensify restores string ids — must hash-match the pagerank10
+    # oracle exactly
+    from hugegraph_computer_spark.graph import (
+        ingest_bucketed,
+        load_graph_bucketed,
+        load_mapping_bucketed,
+    )
+    from hugegraph_computer_spark.graph.derive import undensify
+
+    prefix = "gate_prstore"
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ingest_bucketed(spark, sf_dir, prefix, buckets=parts, densify=True)
+    dense = load_graph_bucketed(spark, prefix, cache=False)
+    # zero-Exchange proof on the loaded store: a src-keyed aggregation
+    # must be satisfied by the bucketed scan alone
+    probe = dense.edges.groupBy("src").agg(F.sum("weight").alias("w"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(f"bucketed store scan planned an Exchange:\n{plan}")
+    n = dense.vertices.count()
+    res = PregelRunner().run(PageRank(l1_tol=0.0, max_supersteps=10), dense)
+    out = undensify(
+        res.state.select("id", "rank"), load_mapping_bucketed(spark, prefix)
+    )
+    return out.select(
+        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
+    )
+
+
 def _q_pagerank_converged(spark, sf_dir):
     g = _graph(spark, sf_dir)
     n = g.num_vertices
@@ -494,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank10": _q_pagerank10,
         "pagerank10_csr": _q_pagerank10_csr,  # CSR-block gather variant
         "pagerank10_dense": _q_pagerank10_dense,  # dense-id round-trip (R13)
+        "pagerank10_store": _q_pagerank10_store,  # dense BUCKETED catalog store
         "pagerank_converged": _q_pagerank_converged,  # rows-only (dynamic halt)
         "wcc": _q_wcc,
         "lpa10": _q_lpa10,
@@ -544,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank10": osql.pagerank(supersteps=10),
         "pagerank10_csr": osql.pagerank(supersteps=10),
         "pagerank10_dense": osql.pagerank(supersteps=10),
+        "pagerank10_store": osql.pagerank(supersteps=10),
         # dynamic L1 halt mirrored in SQL: unrolled steps + first
         # superstep >= 2 with l1 <= tol selected (PageRank4Master.java
         # halt rule) — see osql.pagerank_converged

@@ -91,6 +91,10 @@ def _multi_leg(n_legs: int) -> None:
     out = dict(base)
     out["queries"] = {q: round(v, 3) for q, v in qmins.items()}
     out["value"] = round(sum(qmins.values()), 3)
+    # `value` is COMPOSED of per-query minima across legs — no single
+    # leg necessarily achieved it. `best_leg_value` is a wall-clock an
+    # actual run produced; cite THAT in prose.
+    out["best_leg_value"] = round(base["value"], 3)
     pr = qmins.get("pagerank_1e6")
     if pr:
         # throughput extras recomputed from the min wall

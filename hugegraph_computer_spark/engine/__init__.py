@@ -5,6 +5,7 @@ from hugegraph_computer_spark.engine.driver import (
 )
 from hugegraph_computer_spark.engine.superstep import (
     PregelRunner,
+    RunAborted,
     RunResult,
     StepOutput,
     VertexProgram,
@@ -15,6 +16,7 @@ __all__ = [
     "JobHandle",
     "JobStatus",
     "PregelRunner",
+    "RunAborted",
     "RunResult",
     "StepOutput",
     "VertexProgram",

@@ -34,6 +34,7 @@ from typing import Any
 
 from hugegraph_computer_spark.engine.superstep import (
     PregelRunner,
+    RunAborted,
     RunResult,
     VertexProgram,
 )
@@ -145,15 +146,21 @@ class ComputerDriver:
             )
             handle._status = JobStatus.RUNNING
             try:
+                # The runner polls the cancel flag BEFORE every superstep
+                # (incl. superstep 0), so a cancel() issued right after
+                # submit() — possibly before this thread even called
+                # setJobGroup, when cancelJobGroup had nothing to kill —
+                # still stops the job with zero supersteps executed.
                 res = (runner or PregelRunner()).run(
                     program,
                     g,
                     resume_from=resume_from,
                     on_superstep=handle._on_superstep,
+                    should_stop=lambda: handle._cancel_requested,
                 )
                 handle._result = res
                 handle._status = JobStatus.SUCCEEDED
-            except JobCancelled:
+            except (JobCancelled, RunAborted):
                 handle._status = JobStatus.CANCELLED
             except BaseException as e:  # noqa: BLE001 — job isolation
                 if handle._cancel_requested:

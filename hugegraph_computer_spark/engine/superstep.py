@@ -46,6 +46,13 @@ MSG_COUNT = "_message_count"
 SUPERSTEP = "_superstep"
 
 
+class RunAborted(RuntimeError):
+    """Raised by the runner when a `should_stop` callback requests
+    termination at a superstep boundary — the driver's preemptive
+    cancel point (checked BEFORE each superstep starts, so a cancel
+    issued right after submit never lets superstep 0 run)."""
+
+
 @dataclass
 class StepOutput:
     """What a vertex program produces for one superstep."""
@@ -112,18 +119,40 @@ class PregelRunner:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         state_mode: str | None = None,
+        truncate_every: int | None = None,
     ):
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         # per-superstep state materialization: "lazy" (single-job static
-        # plan, default — measured faster) or "aqe" (adaptive-planned
-        # through cache); see the comment in run()
+        # plan, default — measured faster), "aqe" (adaptive-planned
+        # through cache + eager checkpoint), or "cache" (persist-only:
+        # no lineage cut at all — Catalyst's cache manager substitutes
+        # the InMemoryRelation for the state subtree when planning later
+        # supersteps, so the PHYSICAL plan stays shallow while the
+        # analyzed plan nests one level per step); see run()
         self.state_mode = state_mode or os.environ.get(
             "SPARK_GRAFT_STATE_MODE", "lazy"
         )
-        if self.state_mode not in ("lazy", "aqe"):
+        if self.state_mode not in ("lazy", "aqe", "cache"):
             raise ValueError(
-                f"state_mode must be 'lazy' or 'aqe', got {self.state_mode!r}"
+                "state_mode must be 'lazy', 'aqe' or 'cache', "
+                f"got {self.state_mode!r}"
+            )
+        # lazy mode only: cut lineage every K supersteps instead of every
+        # superstep — attacks the measured 0.51 s/step plan->RDD
+        # conversion floor (BENCH/BASELINE.md round-4 profile) at the
+        # price of a 2^(K-1)-wide uncut plan window whose shuffles
+        # re-execute on every in-window action. A floor knob for
+        # tiny-per-step data; K=1 (always cut) is the default and the
+        # right choice whenever per-step execution dominates.
+        self.truncate_every = int(
+            truncate_every
+            if truncate_every is not None
+            else os.environ.get("SPARK_GRAFT_TRUNCATE_EVERY", "1")
+        )
+        if self.truncate_every < 1:
+            raise ValueError(
+                f"truncate_every must be >= 1, got {self.truncate_every}"
             )
 
     # -- materialization -------------------------------------------------
@@ -182,12 +211,16 @@ class PregelRunner:
         g,
         resume_from: str | None = None,
         on_superstep: Callable[[dict], None] | None = None,
+        should_stop: Callable[[], bool] | None = None,
     ) -> RunResult:
         """`on_superstep` is invoked with each superstep's metrics dict
         right after the step completes — the worker->master per-step
         stats report (WorkerService.java:329-338). Raising from it
         aborts the loop between supersteps (the driver's cooperative
-        cancel point)."""
+        cancel point). `should_stop` is polled BEFORE each superstep
+        (including superstep 0) and raises RunAborted when true — so a
+        cancel issued between submit and the first superstep stops the
+        run with zero supersteps executed."""
         spark = g.vertices.sparkSession
         history: list[dict[str, Any]] = []
         t_run0 = time.monotonic()
@@ -221,8 +254,13 @@ class PregelRunner:
         # localCheckpoint converts the plan to an RDD at CALL time, so
         # its cost shows up in "checkpoint", not "action".
         profile = bool(os.environ.get("SPARK_GRAFT_STEP_PROFILE"))
+        steps_since_cut = 0
 
         while not finished:
+            if should_stop is not None and should_stop():
+                raise RunAborted(
+                    f"{program.name}: stop requested before superstep {s + 1}"
+                )
             t0 = time.monotonic()
             if s < 0:
                 out = program.superstep0(g)
@@ -264,15 +302,43 @@ class PregelRunner:
             exprs.append(F.count(F.lit(1)).alias("_state_rows"))
             if self.state_mode == "aqe":
                 cached = out.state.persist()
+                _t = time.monotonic()
                 row = cached.agg(*exprs).collect()[0]
-                t_ckpt = t_action = time.monotonic()
+                dur_action = time.monotonic() - _t
+                _t = time.monotonic()
                 new_state = cached.localCheckpoint(eager=True)
+                dur_ckpt = time.monotonic() - _t
                 cached.unpersist()
-            else:
-                new_state = out.state.localCheckpoint(eager=False)
-                t_ckpt = time.monotonic()
+            elif self.state_mode == "cache":
+                # persist-only: the action executes the step INTO the
+                # cache; no plan->RDD conversion ever happens. Later
+                # supersteps plan against the cached analyzed plan
+                # (CacheManager substitutes InMemoryRelation), so the
+                # physical plan per step stays two shuffles + a cache
+                # scan. prev-state unpersist below frees each cache one
+                # step after it stops being an input.
+                new_state = out.state.persist()
+                dur_ckpt = 0.0
+                _t = time.monotonic()
                 row = new_state.agg(*exprs).collect()[0]
-                t_action = time.monotonic()
+                dur_action = time.monotonic() - _t
+            else:
+                steps_since_cut += 1
+                if steps_since_cut >= self.truncate_every:
+                    _t = time.monotonic()
+                    new_state = out.state.localCheckpoint(eager=False)
+                    dur_ckpt = time.monotonic() - _t
+                    steps_since_cut = 0
+                else:
+                    # in-window superstep: no lineage cut — the action
+                    # below plans and re-executes the (bounded) uncut
+                    # window; see truncate_every in __init__
+                    new_state = out.state
+                    dur_ckpt = 0.0
+                _t = time.monotonic()
+                row = new_state.agg(*exprs).collect()[0]
+                dur_action = time.monotonic() - _t
+            t_mat = time.monotonic()
             new_msgs = None
             if out.make_messages is not None:
                 new_msgs = out.make_messages(new_state)
@@ -310,9 +376,9 @@ class PregelRunner:
             if profile:
                 step_metrics["phase_seconds"] = {
                     "plan": round(t_plan - t0, 4),
-                    "checkpoint": round(t_ckpt - t_plan, 4),
-                    "action": round(t_action - t_ckpt, 4),
-                    "messages": round(t_end - t_action, 4),
+                    "checkpoint": round(dur_ckpt, 4),
+                    "action": round(dur_action, 4),
+                    "messages": round(t_end - t_mat, 4),
                 }
             history.append(step_metrics)
             if on_superstep is not None:

@@ -150,7 +150,10 @@ def parse_wav_header(
     if fmt is None or data_len is None or fmt[0] != 1:  # PCM only
         return None
     _, channels, sample_rate, _, block_align, bits = fmt
-    if block_align == 0:
+    if block_align == 0 or sample_rate == 0:
+        # a crafted zero-rate fmt would otherwise surface as a
+        # ZeroDivisionError in wav_metadata's duration arithmetic,
+        # failing the whole mapInPandas stage instead of one row
         return None
     return sample_rate, channels, bits, data_len // block_align
 

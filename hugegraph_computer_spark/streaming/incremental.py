@@ -20,6 +20,8 @@ compaction; algorithms read the compacted view.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -90,17 +92,40 @@ _STITCH_STATE_SCHEMA = T.StructType(
 )
 
 
+_DURATION_UNITS = {
+    "ms": 1,
+    "millisecond": 1,
+    "s": 1000,
+    "sec": 1000,
+    "second": 1000,
+    "m": 60_000,
+    "min": 60_000,
+    "minute": 60_000,
+    "h": 3_600_000,
+    "hour": 3_600_000,
+    "d": 86_400_000,
+    "day": 86_400_000,
+}
+
+
 def _duration_ms(spec: str) -> int:
-    """'90 seconds' / '30 minutes' / '2 hours' -> milliseconds."""
-    n, unit = spec.strip().split()
-    mult = {
-        "millisecond": 1,
-        "second": 1000,
-        "minute": 60_000,
-        "hour": 3_600_000,
-        "day": 86_400_000,
-    }[unit.rstrip("s").lower()]
-    return int(n) * mult
+    """'90 seconds' / '90s' / '2 min' / '1.5 hours' -> milliseconds.
+
+    Accepts the same spellings people reach for with Spark's interval
+    grammar (number + unit, space optional, trailing 's' optional) and
+    fails with a message listing the accepted units — instead of the
+    bare KeyError/ValueError a malformed spec used to raise while the
+    sibling `lateness` argument silently accepted it (it goes straight
+    to withWatermark, whose grammar is richer)."""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", spec)
+    unit = m.group(2).lower() if m else ""
+    key = unit if unit in _DURATION_UNITS else unit.rstrip("s")
+    if not m or key not in _DURATION_UNITS:
+        raise ValueError(
+            f"invalid duration {spec!r}: expected '<number> <unit>' with "
+            f"unit one of {sorted(set(_DURATION_UNITS))} (plural ok)"
+        )
+    return int(float(m.group(1)) * _DURATION_UNITS[key])
 
 
 def stitch_reply_edges_stream(
@@ -109,7 +134,7 @@ def stitch_reply_edges_stream(
     edge_store_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
-    lateness: str = "1 minute",
+    lateness: str = "1 hour",
     state_timeout: str = "30 minutes",
 ):
     """Reply-edge derivation that SURVIVES conversations split across
@@ -141,6 +166,33 @@ def stitch_reply_edges_stream(
     the key is removed — so an abandoned conversation costs zero state
     after watermark + timeout, and an unbounded stream holds state only
     for conversations active inside the timeout horizon.
+
+    WATERMARK DROPS: rows with event time older than (max event time
+    seen - `lateness`) are discarded by Structured Streaming BEFORE the
+    stateful operator — they produce no edges, silently. The default
+    lateness is therefore '1 hour' (matching `stream_edges_to`), wide
+    enough for the maxFilesPerTrigger=1 file replay of out-of-order
+    transcript files; tighten it only when the source's disorder bound
+    is known. Audit actual drops with `watermark_drop_counts(query)`.
+
+    POST-EVICTION LATE ARRIVALS (defined semantics): a row that clears
+    the watermark but belongs to an already-evicted conversation
+    re-initializes that key from scratch (last_turn=-1) — the
+    conversation RESUMES AS A NEW PARTIAL ONE. Consequences, bounded
+    and intentional:
+    - the edge spanning the silence gap (last flushed turn -> first
+      resumed turn) is NOT emitted: eviction closed the chain, and
+      state that could link across it is gone by design;
+    - edges among the resumed turns themselves are emitted with the
+      same gap-skipping lag-chain rule, so a turn re-delivered twice
+      (at-least-once sources) can re-emit edges already flushed —
+      `read_edge_store` compacts exact duplicates away, keeping the
+      store at batch parity (tested);
+    - the file source used here is exactly-once per file, so in this
+      deployment only genuinely NEW turns can arrive post-eviction.
+    A conversation only hits this path after > `state_timeout` of
+    event-time silence; size the timeout to the source's real
+    resumption horizon.
 
     Returns the started StreamingQuery (availableNow trigger)."""
     import pandas as pd
@@ -244,6 +296,28 @@ def stitch_reply_edges_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def watermark_drop_counts(query) -> dict[str, int]:
+    """Surface late-row drops from a (finished or running) streaming
+    query's progress: sums `numRowsDroppedByWatermark` across the
+    state operators of every recorded progress event. A non-zero count
+    means turns arrived later than `lateness` and were silently
+    excluded from edge derivation — widen `lateness` or fix the
+    source's disorder bound."""
+    dropped = 0
+    updated = 0
+    removed = 0
+    for prog in query.recentProgress:
+        for op in prog.get("stateOperators", []):
+            dropped += int(op.get("numRowsDroppedByWatermark", 0))
+            updated += int(op.get("numRowsUpdated", 0))
+            removed += int(op.get("numRowsRemoved", 0))
+    return {
+        "rows_dropped_by_watermark": dropped,
+        "state_rows_updated": updated,
+        "state_rows_removed": removed,
+    }
 
 
 def read_edge_store(spark: SparkSession, edge_store_dir: str) -> DataFrame:

@@ -140,3 +140,36 @@ def test_louvain_modularity_improves_per_level(sf_graph):
     # result covers every vertex exactly once
     assert res.count() == sf_graph.num_vertices
     assert res.where(F.col("community").isNull()).count() == 0
+
+
+def test_louvain_value_parity_at_sf01(spark):
+    """Round-4 verdict task 6: the same full-pipeline pure-Python
+    replay parity, at sf0.1 (100k vertices / 153k edges) — matching the
+    hash-verification bar every other iterative op meets at that scale.
+    Same integral-weight argument as the gate-scale test: every
+    aggregate is an order-independent exact double, so the deterministic
+    rule replays exactly."""
+    from hugegraph_computer_spark.graph import Graph, transcripts_from_events
+    from hugegraph_computer_spark.oracles.py_reference import (
+        louvain as py_louvain,
+    )
+
+    g = Graph.from_transcripts(
+        transcripts_from_events(spark, "/root/testdata/sf0.1"), partitions=8
+    )
+    try:
+        got = {
+            r["id"]: r["community"]
+            for r in louvain(g, max_levels=2, max_rounds_per_level=4).collect()
+        }
+        weighted = [
+            (r["src"], r["dst"], r["weight"])
+            for r in g.edges.select("src", "dst", "weight").collect()
+        ]
+        vertices = [r["id"] for r in g.vertices.collect()]
+        want = py_louvain(weighted, vertices, max_levels=2, max_rounds_per_level=4)
+        assert len(got) == len(want)
+        assert got == want
+    finally:
+        g.vertices.unpersist()
+        g.edges.unpersist()

@@ -99,3 +99,94 @@ def test_wav_metadata_matches_generator(spark):
     # non-WAV payloads decode to NULLs, not errors
     other = wav_metadata(media).where(F.col("mime") != "audio/wav").collect()
     assert other and all(r["sample_rate"] is None for r in other)
+
+
+def _splice_riff(chunks: list[bytes]) -> bytes:
+    """Assemble a RIFF/WAVE container from raw chunk byte strings."""
+    import struct
+
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fmt_chunk(
+    audio_format=1, channels=1, sample_rate=8000, block_align=2, bits=16
+):
+    import struct
+
+    body = struct.pack(
+        "<HHIIHH",
+        audio_format,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    return b"fmt " + struct.pack("<I", len(body)) + body
+
+
+def test_wav_malformed_chunks_yield_none_not_errors():
+    """RIFF walker hardening (round-4 verdict task 8): truncated and
+    crafted chunk structures must degrade to None (-> NULL rows in the
+    Spark path), mirroring the PNG path's invalid-payload handling."""
+    import struct
+
+    # fmt chunk declares 16 bytes but the payload is cut mid-chunk
+    whole = _splice_riff([_fmt_chunk()])
+    truncated_fmt = whole[:-10]
+    assert parse_wav_header(truncated_fmt) is None
+
+    # data chunk declares more bytes than the payload carries: the
+    # walker trusts only the bytes present (truncated frame count, no
+    # out-of-range read)
+    data = b"data" + struct.pack("<I", 400) + b"\x00" * 100
+    assert parse_wav_header(_splice_riff([_fmt_chunk(), data])) == (
+        8000, 1, 16, 50,
+    )
+
+    # odd-sized chunk followed by its pad byte: the pad must be skipped
+    # so the data chunk after it still parses (8-bit mono, 7 frames)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    data8 = b"data" + struct.pack("<I", 7) + b"\x07" * 7
+    assert parse_wav_header(
+        _splice_riff([_fmt_chunk(block_align=1, bits=8), odd, data8])
+    ) == (8000, 1, 8, 7)
+
+    # zero sample_rate: would divide-by-zero in wav_metadata's duration
+    # arithmetic — must parse to None instead (ADVICE round 4)
+    zero_rate = _splice_riff(
+        [_fmt_chunk(sample_rate=0), b"data" + struct.pack("<I", 4) + b"\x00" * 4]
+    )
+    assert parse_wav_header(zero_rate) is None
+    # zero block_align guard still holds alongside it
+    zero_align = _splice_riff(
+        [
+            _fmt_chunk(block_align=0),
+            b"data" + struct.pack("<I", 4) + b"\x00" * 4,
+        ]
+    )
+    assert parse_wav_header(zero_align) is None
+
+
+def test_wav_metadata_zero_rate_payload_nulls_one_row(spark):
+    """A crafted zero-sample-rate WAV must NULL its own row, not fail
+    the whole mapInPandas stage with ZeroDivisionError."""
+    import struct
+
+    from hugegraph_computer_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    zero_rate = _splice_riff(
+        [_fmt_chunk(sample_rate=0), b"data" + struct.pack("<I", 4) + b"\x00" * 4]
+    )
+    good = make_wav(sample_rate=8000, channels=1, n_samples=10, seed=1)
+    media = spark.createDataFrame(
+        [
+            (0, "audio/wav", None, None, bytearray(zero_rate)),
+            (1, "audio/wav", None, None, bytearray(good)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in wav_metadata(media).collect()}
+    assert rows[0]["sample_rate"] is None
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == 10

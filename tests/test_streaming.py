@@ -253,6 +253,117 @@ def test_stitching_evicts_idle_conversation_state(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_duration_ms_parsing():
+    """_duration_ms accepts the spellings people reach for (space
+    optional, plural optional, short units) and rejects garbage with a
+    message naming the accepted units — instead of a bare KeyError."""
+    import pytest
+
+    from hugegraph_computer_spark.streaming.incremental import _duration_ms
+
+    assert _duration_ms("90 seconds") == 90_000
+    assert _duration_ms("90s") == 90_000
+    assert _duration_ms("2 min") == 120_000
+    assert _duration_ms("1.5 hours") == 5_400_000
+    assert _duration_ms("30 minutes") == 1_800_000
+    assert _duration_ms("250ms") == 250
+    assert _duration_ms("1 day") == 86_400_000
+    for bad in ("fortnight", "10 fortnights", "", "10", "h10"):
+        with pytest.raises(ValueError, match="expected '<number> <unit>'"):
+            _duration_ms(bad)
+
+
+LATE_DUP = [  # re-delivery of conv_a's already-flushed turns 0 and 2
+    ("conv_a", 0, "user", "search"),
+    ("conv_a", 2, "user", None),
+]
+EVICT_D = [("conv_d", 0, "user", None), ("conv_d", 1, "assistant", None)]
+EVICT_E = [("conv_e", 0, "user", None), ("conv_e", 1, "assistant", None)]
+
+
+def test_post_eviction_late_arrival_keeps_store_at_batch_parity(spark):
+    """Defined post-eviction semantics (round-4 verdict 'what's wrong'
+    #3): a row that clears the watermark but belongs to an ALREADY
+    EVICTED conversation re-initializes the key as a new partial
+    conversation. Re-delivered turns may re-emit an already-flushed
+    edge into the append-only log — and `read_edge_store`'s compaction
+    must absorb it, leaving the store at exact batch parity.
+
+    Timeline (lateness 1 minute, state_timeout 10 minutes):
+      b1 conv_a {0,2} @10:00        (gap at 1 never fills)
+      b2 conv_b @12:00
+      b3 conv_c @14:00  -> wm ~11:59 evicts conv_a, flush a#00->a#02
+      b4 conv_a {0,2} RE-DELIVERED @14:30 (fresh ts clears the wm;
+         state re-initializes at last_turn=-1)
+      b5 conv_d @17:00
+      b6 conv_e @19:00  -> wm evicts the RESUMED conv_a, whose flush
+         re-emits a#00->a#02 (duplicate in the raw log)
+    """
+    import time as _time
+
+    from hugegraph_computer_spark.streaming.incremental import (
+        stitch_reply_edges_stream,
+        watermark_drop_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="hcs_lateevict_")
+    src = os.path.join(base, "in")
+    store = os.path.join(base, "edges")
+    ck = os.path.join(base, "ck")
+    os.makedirs(src)
+    try:
+        _write_batch_at(src, "b1.json", EVICT_A, "2026-01-01T10:00")
+        _write_batch_at(src, "b2.json", EVICT_B, "2026-01-01T12:00")
+        _write_batch_at(src, "b3.json", EVICT_C, "2026-01-01T14:00")
+        _write_batch_at(src, "b4.json", LATE_DUP, "2026-01-01T14:30")
+        _write_batch_at(src, "b5.json", EVICT_D, "2026-01-01T17:00")
+        _write_batch_at(src, "b6.json", EVICT_E, "2026-01-01T19:00")
+        now = _time.time()
+        names = [f"b{k}.json" for k in range(1, 7)]
+        for k, name in enumerate(names):
+            t = now - 70 + 10 * k
+            os.utime(os.path.join(src, name), (t, t))
+        q = stitch_reply_edges_stream(
+            spark, src, store, ck,
+            lateness="1 minute", state_timeout="10 minutes",
+        )
+        q.awaitTermination(240)
+
+        raw = [
+            (r["src"], r["dst"])
+            for r in spark.read.parquet(store).collect()
+        ]
+        # the resumed conversation's timeout flush re-emitted the edge
+        assert raw.count(("conv_a#00", "conv_a#02")) == 2
+        # ... and the compacted view is exactly the batch derivation
+        # over the distinct turns (conv_a's re-delivery adds nothing)
+        compacted = {
+            (r["src"], r["dst"])
+            for r in read_edge_store(spark, store)
+            .where(F.col("etype") == "reply")
+            .collect()
+        }
+        expected = {
+            (r["src"], r["dst"])
+            for r in derive_edges(
+                make_transcripts(
+                    spark, EVICT_A + EVICT_B + EVICT_C + EVICT_D + EVICT_E
+                )
+            )
+            .where(F.col("etype") == "reply")
+            .collect()
+        }
+        assert compacted == expected
+        # drop audit surface: nothing here was watermark-dropped (the
+        # re-delivery carried a fresh ts), and both evictions of conv_a
+        # show up as state removals
+        counts = watermark_drop_counts(q)
+        assert counts["rows_dropped_by_watermark"] == 0
+        assert counts["state_rows_removed"] >= 2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_ingest_matches_batch(spark):
     base = tempfile.mkdtemp(prefix="hcs_stream_")
     src = os.path.join(base, "in")

@@ -48,6 +48,19 @@ def main() -> None:
     res = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=30), g)
     # skip the first two steps (JVM/codegen warmup) for the floor stats
     steady = [h["phase_seconds"] for h in res.history[2:]]
+    if not steady:
+        print(
+            json.dumps(
+                {
+                    "error": "run converged in <= 2 supersteps; no steady "
+                    "window to profile — use a slower-converging input",
+                    "supersteps": res.supersteps,
+                    "per_step": [h["phase_seconds"] for h in res.history],
+                }
+            )
+        )
+        spark.stop()
+        return
     n = max(1, len(steady))
     mean = {k: round(sum(p[k] for p in steady) / n, 3) for k in steady[0]}
     mins = {k: round(min(p[k] for p in steady), 3) for k in steady[0]}
