@@ -14,10 +14,12 @@ same lifecycle:
 - handle.status / superstep_stats — poll-able while running; stats are
   the runner's per-step metrics (rows, messages, seconds, aggregates)
 - handle.wait(timeout) -> terminal JobStatus
-- handle.cancel() — cooperative between supersteps (the cancel flag is
-  checked at every superstep boundary) AND preemptive within one
-  (sparkContext.cancelJobGroup interrupts the in-flight Spark jobs;
-  each job thread tags its work with the job-id job group first).
+- handle.cancel() — cooperative at every superstep boundary INCLUDING
+  before superstep 0 (the runner polls the flag via should_stop, so a
+  cancel issued immediately after submit executes zero supersteps) AND
+  preemptive within one (sparkContext.cancelJobGroup interrupts the
+  in-flight Spark jobs; each job thread tags its work with the job-id
+  job group first).
 
 Scale notes: the handle holds no data — state stays in the runner's
 DataFrames; stats are O(supersteps) scalars. Multiple jobs can run

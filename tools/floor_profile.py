@@ -45,7 +45,14 @@ def main() -> None:
         g, _ = g.densify()
         g.edges.count()
 
-    res = PregelRunner().run(PageRank(l1_tol=1e-6, max_supersteps=30), g)
+    # SPARK_GRAFT_PROFILE_MAX_STEPS: cap the loop for configs whose
+    # per-step cost GROWS with the step index (state_mode=cache plans
+    # an exponentially-nested tree once prior caches drop) — a capped
+    # window still shows the growth curve without hanging the A/B
+    max_steps = int(os.environ.get("SPARK_GRAFT_PROFILE_MAX_STEPS", "30"))
+    res = PregelRunner().run(
+        PageRank(l1_tol=1e-6, max_supersteps=max_steps), g
+    )
     # skip the first two steps (JVM/codegen warmup) for the floor stats
     steady = [h["phase_seconds"] for h in res.history[2:]]
     if not steady:
