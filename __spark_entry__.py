@@ -176,6 +176,14 @@ def _q_wcc(spark, sf_dir):
     return PregelRunner().run(Wcc(), _graph(spark, sf_dir)).state
 
 
+def _q_wcc_fast(spark, sf_dir):
+    """True undirected WCC via min-relaxation + pointer jumping —
+    O(log d) rounds vs the reference loop's O(d) supersteps."""
+    from hugegraph_computer_spark.algorithms.cc_fast import wcc_fast
+
+    return wcc_fast(_graph(spark, sf_dir))
+
+
 def _q_lpa10(spark, sf_dir):
     return PregelRunner().run(Lpa(max_supersteps=10), _graph(spark, sf_dir)).state
 
@@ -532,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank10_store": _q_pagerank10_store,  # dense BUCKETED catalog store
         "pagerank_converged": _q_pagerank_converged,  # rows-only (dynamic halt)
         "wcc": _q_wcc,
+        "wcc_fast": _q_wcc_fast,  # O(log d) pointer-jumping rounds
         "lpa10": _q_lpa10,
         "triangle_count": _q_triangles,
         "clustering_coefficient": _q_clustering,
@@ -586,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         # halt rule) — see osql.pagerank_converged
         "pagerank_converged": osql.pagerank_converged(l1_tol=1e-6, max_steps=40),
         "wcc": osql.wcc(rounds=24),
+        "wcc_fast": osql.wcc_undirected(rounds=24),
         "lpa10": osql.lpa(supersteps=10),
         "triangle_count": osql.triangle_count(),
         "clustering_coefficient": osql.clustering_coefficient(),

@@ -1,3 +1,7 @@
+from hugegraph_computer_spark.algorithms.cc_fast import (
+    connected_components,
+    wcc_fast,
+)
 from hugegraph_computer_spark.algorithms.degree import degree_centrality
 from hugegraph_computer_spark.algorithms.lpa import Lpa
 from hugegraph_computer_spark.algorithms.pagerank import PageRank
@@ -14,4 +18,6 @@ __all__ = [
     "triangle_count",
     "clustering_coefficient",
     "degree_centrality",
+    "connected_components",
+    "wcc_fast",
 ]

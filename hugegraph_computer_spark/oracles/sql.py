@@ -252,6 +252,30 @@ def wcc(rounds: int = 24) -> str:
     return _with(",\n".join(parts), f"SELECT id, comp FROM w{rounds}")
 
 
+def wcc_undirected(rounds: int = 24) -> str:
+    """Unrolled min-relaxation over the SYMMETRIZED edge set: comp*(v) =
+    min id in v's weakly-connected component — the fixpoint
+    algorithms/cc_fast.py reaches in O(log d) pointer-jumping rounds.
+    One-hop relaxation here needs `rounds` >= the undirected diameter
+    (hub vertices keep it far under 24 on the derived graph; the gate's
+    hash comparison against the Spark fixpoint would flag any shortfall)."""
+    parts = [
+        "ue AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+        "u0 AS MATERIALIZED (SELECT n.id, least(n.id, coalesce(mn.m, n.id)) AS comp "
+        "FROM nodes n LEFT JOIN (SELECT src, min(dst) AS m FROM ue GROUP BY src) mn "
+        "ON n.id = mn.src)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT u.id, least(u.comp, coalesce(im.m, u.comp)) AS comp "
+            f"FROM u{r} u LEFT JOIN ("
+            f"SELECT e.dst AS id, min(s.comp) AS m FROM u{r} s "
+            f"JOIN ue e ON s.id = e.src GROUP BY e.dst) im ON u.id = im.id)"
+        )
+    return _with(",\n".join(parts), f"SELECT id, comp FROM u{rounds}")
+
+
 def lpa(supersteps: int = 10) -> str:
     """Unrolled reference LPA (Lpa.java:50-101): superstep 0 broadcast +
     (supersteps-1) vote rounds; only message recipients vote and resend."""

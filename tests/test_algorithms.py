@@ -105,3 +105,40 @@ def test_wcc_lpa_tiebreak_non_ascii_ids(spark):
     lpa_res = PregelRunner().run(Lpa(max_supersteps=4), g)
     labels = {r["id"]: r["label"] for r in lpa_res.state.collect()}
     assert set(labels) == set(ids)
+
+
+def test_cc_fast_matches_wcc_fixpoint_in_log_rounds(sf_graph):
+    """cc_fast must reach the exact fixpoint Wcc reaches on a
+    both-direction load (true undirected WCC, min-id labels), in
+    fewer rounds than the reference loop takes supersteps."""
+    from hugegraph_computer_spark.algorithms.cc_fast import connected_components
+
+    ref = PregelRunner().run(Wcc(), sf_graph.both_direction())
+    expected = {r["id"]: r["comp"] for r in ref.state.collect()}
+
+    res = connected_components(sf_graph)
+    got = {r["id"]: r["comp"] for r in res.labels.collect()}
+
+    assert got == expected
+    # pointer jumping doubles covered distance per round; the +1 is the
+    # confirmation round (changed == 0)
+    assert res.rounds < ref.supersteps, (res.rounds, ref.supersteps)
+
+
+def test_cc_fast_isolated_and_chain(spark):
+    """Isolated vertex keeps its own label; a long path (worst case for
+    one-hop propagation, diameter 9) converges in ~log2(d) rounds."""
+    from hugegraph_computer_spark.algorithms.cc_fast import connected_components
+    from hugegraph_computer_spark.graph import Graph
+
+    ids = [f"v{i:02d}" for i in range(10)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0, "t") for a, b in zip(ids, ids[1:])],
+        "src string, dst string, weight double, etype string",
+    )
+    v = spark.createDataFrame([(i,) for i in ids] + [("lonely",)], "id string")
+    res = connected_components(Graph(vertices=v, edges=e, partitions=2))
+    got = {r["id"]: r["comp"] for r in res.labels.collect()}
+    assert got["lonely"] == "lonely"
+    assert all(got[i] == "v00" for i in ids)
+    assert res.rounds <= 6, res.rounds  # ceil(log2(9)) + confirm + slack
