@@ -25,6 +25,7 @@ from hugegraph_computer_spark.algorithms import (
     Lpa,
     PageRank,
     Wcc,
+    connected_components,
     triangle_count,
 )
 from hugegraph_computer_spark.engine import PregelRunner
@@ -221,6 +222,12 @@ def main() -> None:
     extras["wcc_supersteps"] = wcc_res.supersteps
 
     t0 = time.monotonic()
+    cc_res = connected_components(g)
+    cc_res.labels.count()
+    timings["wcc_fast"] = time.monotonic() - t0
+    extras["wcc_fast_rounds"] = cc_res.rounds
+
+    t0 = time.monotonic()
     lpa_res = PregelRunner().run(Lpa(max_supersteps=10), g)
     lpa_res.state.count()
     timings["lpa10"] = time.monotonic() - t0
@@ -231,7 +238,7 @@ def main() -> None:
 
     total = sum(timings.values())
     out = {
-        "metric": "graph suite wall-clock (derive + pagerank@1e-6 + wcc + lpa10 + triangles)",
+        "metric": "graph suite wall-clock (derive + pagerank@1e-6 + wcc + wcc_fast + lpa10 + triangles)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
