@@ -526,6 +526,27 @@ def _q_multimodal_wav(spark, sf_dir):
     )
 
 
+def _q_multimodal_avi(spark, sf_dir):
+    # REAL decode: walk the RIFF/avih/strf tree AND numpy-average the
+    # actual '00db' frame bytes; the oracle emits the generator's ground
+    # truth by arithmetic (the pixel ramp never wraps mod 256)
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        avi_metadata,
+        synth_media,
+    )
+
+    return (
+        avi_metadata(synth_media(spark, n=64))
+        .where(F.col("mime") == "video/avi")
+        .select(
+            "media_id", "mime", "width", "height", "n_frames", "fps",
+            F.round("duration_ms", 6).alias("duration_ms"),
+            F.round("mean_luma_f0", 6).alias("mean_luma_f0"),
+            F.round("mean_luma_all", 6).alias("mean_luma_all"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_derivation": _q_transcripts,
@@ -575,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,  # rows-only (synth media table)
         "multimodal_png": _q_multimodal_png,  # real IHDR decode, value-oracled
         "multimodal_wav": _q_multimodal_wav,  # real RIFF decode, value-oracled
+        "multimodal_avi": _q_multimodal_avi,  # real AVI frame decode, value-oracled
     }
 
 
@@ -629,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         # oracled: the generator's ground truth is media_id arithmetic.
         "multimodal_png": osql.multimodal_png(n=64),
         "multimodal_wav": osql.multimodal_wav(n=64),
+        "multimodal_avi": osql.multimodal_avi(n=64),
         "ann_topk": osql.ann_topk(n_queries=5, k=10),
         "ann_topk_ivf": osql.ann_topk_ivf(n_queries=5, k=10, n_clusters=4),
         "cosine_neardup": osql.cosine_neardup_lsh(threshold=0.4, n_planes=6),

@@ -809,6 +809,30 @@ def multimodal_wav(n: int = 64) -> str:
     )
 
 
+def multimodal_avi(n: int = 64) -> str:
+    """Ground-truth oracle for the REAL AVI decode: DuckDB cannot walk
+    RIFF trees or average frame bytes, but the synth generator's
+    parameters are arithmetic in media_id (pipeline/multimodal.
+    synth_media: avi rows are i % 6 == 2, width 16 + i%8, height
+    12 + i%5, n_frames 3 + i%4, fps from AVI_FPS_CHOICES by i%5) and
+    every pixel of frame f, row y is (i + 7f + y) — the modulus never
+    wraps in this range — so the per-frame means close to
+    i + 7f + (h-1)/2. The Spark side must recover all of it from the
+    actual avih/strf headers and the actual '00db' frame bytes."""
+    fps = "list_extract([10,16,20,25,40], (i % 5) + 1)"
+    return (
+        f"SELECT CAST(i AS BIGINT) AS media_id, 'video/avi' AS mime, "
+        f"CAST(16 + i % 8 AS INTEGER) AS width, "
+        f"CAST(12 + i % 5 AS INTEGER) AS height, "
+        f"CAST(3 + i % 4 AS INTEGER) AS n_frames, "
+        f"CAST({fps} AS DOUBLE) AS fps, "
+        f"round((3 + i % 4) * 1000.0 / {fps}, 6) AS duration_ms, "
+        f"round(i + (11 + i % 5) / 2.0, 6) AS mean_luma_f0, "
+        f"round(i + 7 * (2 + i % 4) / 2.0 + (11 + i % 5) / 2.0, 6) AS mean_luma_all "
+        f"FROM range(0, {n}) t(i) WHERE i % 6 = 2"
+    )
+
+
 def degree_capped(n: int = 2) -> str:
     """degree_centrality over a graph with out-edges capped at n per
     vertex (input.limit_edges_in_one_vertex, ComputerOptions.java:

@@ -190,3 +190,76 @@ def test_wav_metadata_zero_rate_payload_nulls_one_row(spark):
     rows = {r["media_id"]: r for r in wav_metadata(media).collect()}
     assert rows[0]["sample_rate"] is None
     assert rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == 10
+
+
+def test_avi_roundtrip_pure():
+    """make_avi produces a valid uncompressed RIFF-AVI whose header tree
+    and frame bytes parse back exactly — including stride padding
+    (3*17 = 51 -> 52) and bottom-up row order."""
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        decode_avi_frames,
+        make_avi,
+        parse_avi_header,
+    )
+
+    b = make_avi(17, 13, 4, fps=25, seed=5)
+    assert parse_avi_header(b) == (17, 13, 4, 40000)
+    means = decode_avi_frames(b)
+    assert len(means) == 4
+    # pixel(f, y) = 5 + 7f + y, constant over x/channels -> frame mean
+    # = 5 + 7f + (13-1)/2, independent of storage orientation
+    assert all(abs(m - (5 + 7 * f + 6.0)) < 1e-9 for f, m in enumerate(means))
+    # non-AVI / truncated payloads refuse gracefully
+    assert parse_avi_header(b"RIFFxxxxWAVE") is None
+    assert parse_avi_header(b[:40]) is None
+    assert decode_avi_frames(b"\x00" * 100) is None
+    # truncated movi: header still parses, malformed frame run yields []
+    assert parse_avi_header(b[:-10]) == (17, 13, 4, 40000)
+    assert decode_avi_frames(b[:-10]) == []
+
+
+def test_avi_metadata_matches_generator(spark):
+    """The Spark decode path recovers the generator's ground truth from
+    the actual bytes (the multimodal_avi gate oracle): header fields
+    from avih/strf, pixel means from the '00db' frames."""
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        AVI_FPS_CHOICES,
+        avi_metadata,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24)
+    got = {
+        r["media_id"]: r
+        for r in avi_metadata(media).where(F.col("mime") == "video/avi").collect()
+    }
+    assert set(got) == {i for i in range(24) if i % 6 == 2}
+    for i, r in got.items():
+        w, h, nf, fps = 16 + i % 8, 12 + i % 5, 3 + i % 4, AVI_FPS_CHOICES[i % 5]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert abs(r["fps"] - fps) < 1e-9
+        assert abs(r["duration_ms"] - nf * 1000.0 / fps) < 1e-9
+        assert abs(r["mean_luma_f0"] - (i + (h - 1) / 2.0)) < 1e-9
+        assert abs(
+            r["mean_luma_all"] - (i + 7 * (nf - 1) / 2.0 + (h - 1) / 2.0)
+        ) < 1e-9
+    # non-AVI payloads (png/wav/mp4) decode to NULLs, not errors
+    other = avi_metadata(media).where(F.col("mime") != "video/avi").collect()
+    assert other and all(r["width"] is None for r in other)
+
+
+def test_avi_frame_sample_real_decode(spark):
+    """Every-Nth-frame sampling decodes the actual sampled frames."""
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        avi_frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24)
+    rows = avi_frame_sample(media, every_n=2).collect()
+    assert rows and all(r["frame_idx"] % 2 == 0 for r in rows)
+    for r in rows:
+        i, h = r["media_id"], 12 + r["media_id"] % 5
+        assert i % 6 == 2  # only real AVI rows produce frames
+        exp = i + 7 * r["frame_idx"] + (h - 1) / 2.0
+        assert abs(r["mean_luma"] - exp) < 1e-9
