@@ -444,6 +444,14 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # pairs -> O(log d) connected components -> canonical per cluster;
+    # oracle unrolls undirected min-relaxation over the same pair CTE
+    from hugegraph_computer_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.4)
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from hugegraph_computer_spark.pipeline.dedup import minhash_lsh_pairs
 
@@ -587,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,  # pairs -> cc_fast components -> canonical
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
@@ -644,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": osql.doc_fingerprint(),
         "dedup_exact": osql.dedup_exact(),
         "ngram_jaccard": osql.ngram_jaccard(threshold=0.4),
+        "dedup_clusters": osql.dedup_clusters(threshold=0.4, rounds=16),
         "minhash_lsh": osql.minhash_lsh(threshold=0.4),
         "simhash": osql.simhash(),
         # multimodal_features intentionally rows-only: synthetic binary

@@ -489,6 +489,49 @@ WHERE round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) >= {thresh
 """
 
 
+def dedup_clusters(threshold: float = 0.4, rounds: int = 16) -> str:
+    """Near-dup cluster assignment: the ngram_jaccard pair CTE feeds an
+    unrolled undirected min-relaxation over doc ids (same pattern as
+    wcc_undirected) — canonical = min doc_id per pair-graph component,
+    singletons self-canonical. `rounds` must cover the largest cluster
+    diameter; the gate hash against the Spark pointer-jumping fixpoint
+    (pipeline/dedup.py dedup_clusters) would flag any shortfall."""
+    parts = [
+        _SHINGLES.strip(),
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)",
+        "common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common "
+        "FROM shingles a JOIN shingles b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2)",
+        "pairs AS MATERIALIZED (SELECT c.a, c.b FROM common c "
+        "JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id "
+        "WHERE round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) "
+        f">= {threshold})",
+        "up AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b AS src, a AS dst FROM pairs)",
+        "c0 AS MATERIALIZED (SELECT d.doc_id AS id, "
+        "least(d.doc_id, coalesce(mn.m, d.doc_id)) AS comp "
+        "FROM documents d LEFT JOIN "
+        "(SELECT src, min(dst) AS m FROM up GROUP BY src) mn "
+        "ON d.doc_id = mn.src)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"c{r + 1} AS MATERIALIZED (SELECT u.id, "
+            f"least(u.comp, coalesce(im.m, u.comp)) AS comp "
+            f"FROM c{r} u LEFT JOIN ("
+            f"SELECT e.dst AS id, min(s.comp) AS m FROM c{r} s "
+            f"JOIN up e ON s.id = e.src GROUP BY e.dst) im ON u.id = im.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT id AS doc_id, comp AS canonical_id,
+       count(*) OVER (PARTITION BY comp) AS cluster_size,
+       id <> comp AS is_duplicate
+FROM c{rounds}
+"""
+    )
+
+
 # portable 60-bit hash: identical to Spark's
 # conv(substr(md5(x),1,15),16,10) — used by minhash/simhash/walks oracles
 _MD5LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"

@@ -265,3 +265,58 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# -- cluster assignment ------------------------------------------------------
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.4,
+    n: int = 3,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: pairs -> connected components
+    -> one canonical doc per cluster.
+
+    Candidate pairs are only half of corpus dedup — near-duplication is
+    transitive in practice (A~B and B~C with A~C below threshold), so
+    keep-one-per-group semantics need the pair graph's connected
+    components, not the pair list. Components run on the O(log d)
+    pointer-jumping engine (algorithms/cc_fast.py), so the shuffle-round
+    count is logarithmic in the largest cluster's diameter — at corpus
+    scale template-generated near-dup chains can be thousands of docs
+    deep, where a one-hop-per-round loop would take thousands of
+    E-sized shuffles.
+
+    `pairs`: any (a, b[, ...]) near-dup pair table — defaults to
+    `ngram_jaccard_pairs(docs, n, threshold)`; the MinHash/SimHash/
+    cosine generators plug in unchanged.
+
+    Returns (doc_id, canonical_id, cluster_size, is_duplicate):
+    canonical = min doc_id in the component (singletons are their own
+    canonical, cluster_size 1) — the same keep-min rule as dedup_exact.
+    """
+    from hugegraph_computer_spark.algorithms.cc_fast import (
+        connected_components,
+    )
+    from hugegraph_computer_spark.graph.derive import Graph
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    g = Graph(
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        edges=pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+    )
+    labels = connected_components(g, max_rounds=max_rounds).labels
+    w = Window.partitionBy("canonical_id")
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_duplicate", F.col("doc_id") != F.col("canonical_id")
+        )
+    )
