@@ -73,6 +73,39 @@ def _q_edges(spark, sf_dir):
     )
 
 
+def _q_stream_edges(spark, sf_dir):
+    # Structured-Streaming ingest AT THE GATE: transcripts written as
+    # conv-partitioned JSON files, streamed through stream_edges_to
+    # (file source, availableNow, foreachBatch append edge log), then
+    # the compacted store view — hash-matched against the SAME batch
+    # edge_derivation oracle, proving stream/batch parity end-to-end.
+    # Parity is structural: reply/mention are unit-weight and globally
+    # unique (deduped), uses/copart counts are additive across the
+    # conv-disjoint micro-batches; no stateful op, so the watermark
+    # cannot drop rows on this path.
+    import os
+    import tempfile
+
+    from hugegraph_computer_spark.streaming.incremental import (
+        read_edge_store,
+        stream_edges_to,
+    )
+
+    base = tempfile.mkdtemp(prefix="hcs_stream_gate_")
+    tdir = os.path.join(base, "transcripts")
+    edir = os.path.join(base, "edges")
+    ckpt = os.path.join(base, "ckpt")
+    t = transcripts_from_events(spark, sf_dir)
+    # hash-partition by conv_id: every conversation lands whole in one
+    # file (reply stitching needs adjacent turns in one micro-batch);
+    # 24 files with maxFilesPerTrigger=16 exercises >1 micro-batch
+    t.repartition(24, "conv_id").write.json(tdir)
+    stream_edges_to(spark, tdir, edir, ckpt).awaitTermination()
+    return read_edge_store(spark, edir).select(
+        "src", "dst", F.round("weight", 6).alias("weight"), "etype"
+    )
+
+
 def _q_nodes(spark, sf_dir):
     return _graph(spark, sf_dir).vertices.select("id")
 
@@ -559,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_derivation": _q_transcripts,
         "edge_derivation": _q_edges,
+        "stream_edge_derivation": _q_stream_edges,  # Structured Streaming ingest, batch-parity oracled
         "nodes": _q_nodes,
         "degree_centrality": _q_degree,
         "degree_weighted": _q_degree_weighted,
@@ -613,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "transcript_derivation": osql.transcript_derivation(),
         "edge_derivation": osql.edge_derivation(),
+        "stream_edge_derivation": osql.edge_derivation(),
         "nodes": osql.nodes_query(),
         "degree_centrality": osql.degree_centrality(),
         "degree_weighted": osql.degree_weighted(),
