@@ -62,6 +62,25 @@ def load_graph(
     return Graph(vertices=verts, edges=edges, partitions=partitions)
 
 
+def _drop_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS plus stale-location cleanup: a managed
+    table's directory survives the (session-local, in-memory) derby
+    metastore, and a NEW session's saveAsTable refuses to claim the
+    orphaned location (LOCATION_ALREADY_EXISTS). Dropping both the
+    catalog entry and any orphaned directory makes the bucketed ingest
+    idempotent across sessions — on a real deployment the catalog is
+    durable (Iceberg/HMS) and the directory can never be orphaned."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse.scheme in ("", "file"):
+        loc = os.path.join(warehouse.path, name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+
 def save_graph_bucketed(g: Graph, table_prefix: str, buckets: int | None = None) -> None:
     """useMode=input into BUCKETED catalog tables — the zero-shuffle
     store layout the parquet-file store cannot express (plain files
@@ -78,6 +97,9 @@ def save_graph_bucketed(g: Graph, table_prefix: str, buckets: int | None = None)
     ingested-partition-file reuse (WorkerService.java:440-480) with the
     partitioner persisted instead of re-established per run."""
     buckets = buckets or g.partitions or 32
+    spark = g.vertices.sparkSession
+    _drop_table(spark, f"{table_prefix}_vertices")
+    _drop_table(spark, f"{table_prefix}_edges")
     (
         g.vertices.write.mode("overwrite")
         .format("parquet")
@@ -163,6 +185,7 @@ def ingest_bucketed(
     )
     if densify:
         g, mapping = g.densify()
+        _drop_table(spark, f"{table_prefix}_mapping")
         (
             mapping.write.mode("overwrite")
             .format("parquet")
