@@ -74,6 +74,54 @@ def _pin_changed(df: DataFrame) -> tuple[DataFrame, int]:
     return out, int(changed or 0)
 
 
+def cc_round(sym: DataFrame, state: DataFrame) -> DataFrame:
+    """One relax+notify+jump round: (id, comp) -> (id, comp, changed).
+    Exactly one E-sized shuffle (the relax scatter) plus two V-sized
+    (id, comp) shuffles — the plan shape docs/PLANS.md dumps."""
+    # relax: one hop of reference message passing (min combiner)
+    nbr = (
+        sym.join(state, sym["src"] == state["id"])
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("comp").alias("cand"))
+    )
+    relaxed = state.join(nbr, "id", "left").select(
+        "id",
+        F.col("comp").alias("old_comp"),
+        F.least("comp", F.coalesce("cand", "comp")).alias("comp"),
+    )
+    # notify: improved vertices report the new label to their old
+    # root, so star regions merge wholesale instead of one boundary
+    # hop per round (the small-star step on the label forest)
+    to_root = (
+        relaxed.where(F.col("comp") < F.col("old_comp"))
+        .groupBy(F.col("old_comp").alias("id"))
+        .agg(F.min("comp").alias("root_cand"))
+    )
+    informed = relaxed.join(to_root, "id", "left").select(
+        "id",
+        "old_comp",
+        F.least("comp", F.coalesce("root_cand", "comp")).alias("comp"),
+    )
+    # jump: comp <- comp(comp). Labels are vertex ids, so the lookup
+    # is an equi-join of the state against itself on (comp = id);
+    # left join + coalesce keeps rows whose label is already a root.
+    target = informed.select(
+        F.col("id").alias("t_id"), F.col("comp").alias("t_comp")
+    )
+    jumped = informed.join(
+        target, informed["comp"] == target["t_id"], "left"
+    ).select(
+        informed["id"],
+        "old_comp",
+        F.least(
+            informed["comp"], F.coalesce("t_comp", informed["comp"])
+        ).alias("comp"),
+    )
+    return jumped.select(
+        "id", "comp", (F.col("comp") < F.col("old_comp")).alias("changed")
+    )
+
+
 def connected_components(graph, max_rounds: int = 50) -> CCResult:
     """Label every vertex with the minimum id of its weakly-connected
     component (the fixpoint Wcc.java reaches on a both-direction load),
@@ -93,49 +141,7 @@ def connected_components(graph, max_rounds: int = 50) -> CCResult:
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        # relax: one hop of reference message passing (min combiner)
-        nbr = (
-            sym.join(state, sym["src"] == state["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("cand"))
-        )
-        relaxed = state.join(nbr, "id", "left").select(
-            "id",
-            F.col("comp").alias("old_comp"),
-            F.least("comp", F.coalesce("cand", "comp")).alias("comp"),
-        )
-        # notify: improved vertices report the new label to their old
-        # root, so star regions merge wholesale instead of one boundary
-        # hop per round (the small-star step on the label forest)
-        to_root = (
-            relaxed.where(F.col("comp") < F.col("old_comp"))
-            .groupBy(F.col("old_comp").alias("id"))
-            .agg(F.min("comp").alias("root_cand"))
-        )
-        informed = relaxed.join(to_root, "id", "left").select(
-            "id",
-            "old_comp",
-            F.least("comp", F.coalesce("root_cand", "comp")).alias("comp"),
-        )
-        # jump: comp <- comp(comp). Labels are vertex ids, so the lookup
-        # is an equi-join of the state against itself on (comp = id);
-        # left join + coalesce keeps rows whose label is already a root.
-        target = informed.select(
-            F.col("id").alias("t_id"), F.col("comp").alias("t_comp")
-        )
-        jumped = informed.join(
-            target, informed["comp"] == target["t_id"], "left"
-        ).select(
-            informed["id"],
-            "old_comp",
-            F.least(
-                informed["comp"], F.coalesce("t_comp", informed["comp"])
-            ).alias("comp"),
-        )
-        new_state = jumped.select(
-            "id", "comp", (F.col("comp") < F.col("old_comp")).alias("changed")
-        )
-        state, changed = _pin_changed(new_state)
+        state, changed = _pin_changed(cc_round(sym, state))
         if changed == 0:
             break
 

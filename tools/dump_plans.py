@@ -175,6 +175,30 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS plans_bstore_vertices")
     spark.sql("DROP TABLE IF EXISTS plans_bstore_edges")
 
+    # 9a. cc_fast round: one E-sized + two V-sized shuffles
+    from hugegraph_computer_spark.algorithms.cc_fast import cc_round
+
+    e = g.edges.select("src", "dst")
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cc_state = g.vertices.select("id", F.col("id").alias("comp"))
+    sections.append(
+        (
+            "Fast connected components — one relax+notify+jump round",
+            "Exactly ONE E-sized Exchange (the relax scatter join + "
+            "min-combine, with a partial aggregate below it) and two "
+            "V-sized Exchanges over 16-byte (id, comp) rows (notify "
+            "groupBy(old_comp) and the jump self-join). The round count "
+            "is O(log d) (measured: 5 rounds at sf0.1 where the "
+            "reference-style one-hop loop needs 17 supersteps), so at "
+            "10^12-turn scale the engine pays ~5 E-sized shuffles for a "
+            "full components run instead of one per unit of graph "
+            "diameter.",
+            fmt(cc_round(sym, cc_state)),
+        )
+    )
+
     # 9. read_transcripts: name-select keeps projection pushdown intact
     from hugegraph_computer_spark.graph import read_transcripts
 
