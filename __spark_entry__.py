@@ -91,6 +91,9 @@ def _q_stream_edges(spark, sf_dir):
         stream_edges_to,
     )
 
+    import atexit
+    import shutil
+
     base = tempfile.mkdtemp(prefix="hcs_stream_gate_")
     tdir = os.path.join(base, "transcripts")
     edir = os.path.join(base, "edges")
@@ -101,6 +104,12 @@ def _q_stream_edges(spark, sf_dir):
     # 24 files with maxFilesPerTrigger=16 exercises >1 micro-batch
     t.repartition(24, "conv_id").write.json(tdir)
     stream_edges_to(spark, tdir, edir, ckpt).awaitTermination()
+    # the JSON transcript copy and checkpoint are dead once the stream
+    # finishes; the edge store must outlive the returned (lazy) scan,
+    # so it is reclaimed at interpreter exit instead
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return read_edge_store(spark, edir).select(
         "src", "dst", F.round("weight", 6).alias("weight"), "etype"
     )
@@ -688,7 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": osql.doc_fingerprint(),
         "dedup_exact": osql.dedup_exact(),
         "ngram_jaccard": osql.ngram_jaccard(threshold=0.4),
-        "dedup_clusters": osql.dedup_clusters(threshold=0.4, rounds=16),
+        "dedup_clusters": osql.dedup_clusters(threshold=0.4, rounds=24),
         "minhash_lsh": osql.minhash_lsh(threshold=0.4),
         "simhash": osql.simhash(),
         # multimodal_features intentionally rows-only: synthetic binary

@@ -74,6 +74,17 @@ def _pin_changed(df: DataFrame) -> tuple[DataFrame, int]:
     return out, int(changed or 0)
 
 
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: src->dst plus the mirror. Duplicates are
+    harmless under min-combine, so no distinct shuffle. Shared by the
+    engine loop and tools/dump_plans.py so the dumped round plan cannot
+    drift from what the engine runs."""
+    e = edges.select("src", "dst")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def cc_round(sym: DataFrame, state: DataFrame) -> DataFrame:
     """One relax+notify+jump round: (id, comp) -> (id, comp, changed).
     Exactly one E-sized shuffle (the relax scatter) plus two V-sized
@@ -131,11 +142,7 @@ def connected_components(graph, max_rounds: int = 50) -> CCResult:
     (OUT-direction) graph, not `both_direction()` (which would double
     the mirrored rows harmlessly but pointlessly).
     """
-    e = graph.edges.select("src", "dst")
-    # duplicates are harmless under min-combine, so no distinct shuffle
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = symmetrize(graph.edges)
 
     state = graph.vertices.select("id", F.col("id").alias("comp"))
     rounds = 0

@@ -69,11 +69,20 @@ def _drop_table(spark: SparkSession, name: str) -> None:
     orphaned location (LOCATION_ALREADY_EXISTS). Dropping both the
     catalog entry and any orphaned directory makes the bucketed ingest
     idempotent across sessions — on a real deployment the catalog is
-    durable (Iceberg/HMS) and the directory can never be orphaned."""
+    durable (Iceberg/HMS) and the directory can never be orphaned.
+
+    Only a TRUE orphan is removed: if the catalog knows the table,
+    DROP TABLE owns the data-directory decision (managed tables drop
+    their data; external tables keep theirs by contract and this
+    helper must not delete it). Qualified names (db.table) live under
+    `<warehouse>/<db>.db/` and are left to the catalog entirely."""
     import shutil
     from urllib.parse import urlparse
 
+    existed = spark.catalog.tableExists(name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if existed or "." in name:
+        return
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     if warehouse.scheme in ("", "file"):
         loc = os.path.join(warehouse.path, name.lower())

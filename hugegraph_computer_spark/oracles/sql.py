@@ -489,13 +489,16 @@ WHERE round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) >= {thresh
 """
 
 
-def dedup_clusters(threshold: float = 0.4, rounds: int = 16) -> str:
+def dedup_clusters(threshold: float = 0.4, rounds: int = 24) -> str:
     """Near-dup cluster assignment: the ngram_jaccard pair CTE feeds an
     unrolled undirected min-relaxation over doc ids (same pattern as
     wcc_undirected) — canonical = min doc_id per pair-graph component,
-    singletons self-canonical. `rounds` must cover the largest cluster
-    diameter; the gate hash against the Spark pointer-jumping fixpoint
-    (pipeline/dedup.py dedup_clusters) would flag any shortfall."""
+    singletons self-canonical. `rounds` must cover the largest
+    cluster's min-id eccentricity (24 matches wcc_undirected's bar —
+    far above the <=4-hop clusters the synthetic corpora produce; a
+    larger sf would need `rounds` raised with it); the gate hash
+    against the Spark pointer-jumping fixpoint (pipeline/dedup.py
+    dedup_clusters) flags any shortfall as a mismatch, never silently."""
     parts = [
         _SHINGLES.strip(),
         "sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)",

@@ -305,11 +305,21 @@ def dedup_clusters(
 
     if pairs is None:
         pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
-    g = Graph(
-        vertices=docs.select(F.col("doc_id").alias("id")),
-        edges=pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-    )
-    labels = connected_components(g, max_rounds=max_rounds).labels
+    # persist both inputs through the iterative loop: every CC round is
+    # its own action re-reading the edge set, and pair GENERATION (the
+    # shingle self-join) is the expensive part — without the pin it
+    # would re-execute once per round
+    verts = docs.select(F.col("doc_id").alias("id")).persist()
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).persist()
+    try:
+        g = Graph(vertices=verts, edges=edges)
+        # labels come back lineage-free (localCheckpoint pin per round)
+        labels = connected_components(g, max_rounds=max_rounds).labels
+    finally:
+        verts.unpersist()
+        edges.unpersist()
     w = Window.partitionBy("canonical_id")
     return (
         labels.select(

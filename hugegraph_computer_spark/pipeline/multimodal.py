@@ -188,7 +188,17 @@ def make_avi(
     (seed + 7*f + y) % 256 across all of x and the three channels, so
     per-frame means are arithmetic ground truth; rows are written
     bottom-up with 4-byte stride padding (the BMP/DIB convention a real
-    decoder must honor)."""
+    decoder must honor). fps must divide 1,000,000 exactly (see
+    AVI_FPS_CHOICES) so us_per_frame round-trips; the pixel ramp must
+    stay below 256 so the 'never wraps' arithmetic the oracle relies on
+    is ENFORCED here, not assumed by callers."""
+    if 1_000_000 % fps != 0:
+        raise ValueError(f"fps={fps} must divide 1,000,000 (AVI_FPS_CHOICES)")
+    if seed + 7 * (n_frames - 1) + (height - 1) > 255:
+        raise ValueError(
+            f"pixel ramp wraps mod 256 (seed={seed}, n_frames={n_frames}, "
+            f"height={height}); the arithmetic oracle requires no wrap"
+        )
     stride = (3 * width + 3) & ~3
     us_per_frame = 1_000_000 // fps
     frames = []
@@ -201,7 +211,7 @@ def make_avi(
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        us_per_frame, stride * height * fps, 0, 0x10,  # AVIF_HASINDEX-free, flags
+        us_per_frame, stride * height * fps, 0, 0,  # flags=0: no idx1 chunk is written, so AVIF_HASINDEX must not be set
         n_frames, 0, 1, stride * height, width, height, 0, 0, 0, 0,
     )
     strh = (
@@ -257,7 +267,10 @@ def parse_avi_header(
                 for t3, s3, z3 in _riff_walk(payload, s2 + 4, s2 + z2):
                     if t3 == b"strf" and z3 >= 40:
                         b = struct.unpack("<IiiHHI", payload[s3 : s3 + 20])
-                        bi_rgb24 = b[4] == 24 and b[5] == 0  # BI_RGB
+                        # OR across streams: a later strl (e.g. an audio
+                        # stream's WAVEFORMATEX) must not veto a valid
+                        # 24-bit BI_RGB video stream seen earlier
+                        bi_rgb24 = bi_rgb24 or (b[4] == 24 and b[5] == 0)
     if avih is None or not bi_rgb24:
         return None
     width, height, n_frames, us_per_frame = avih
@@ -266,14 +279,16 @@ def parse_avi_header(
     return width, height, n_frames, us_per_frame
 
 
-def decode_avi_frames(payload: bytes):
+def decode_avi_frames(payload: bytes, header=None):
     """REAL frame decode: numpy view over each '00db' chunk's BGR bytes
     (stride-padded, bottom-up) → list of per-frame mean pixel values.
     Returns None when the container/codec is unsupported; skips
-    malformed frame chunks rather than failing the batch."""
+    malformed frame chunks rather than failing the batch. Pass a
+    pre-parsed `header` to skip the second RIFF tree walk in hot
+    mapInPandas loops."""
     import numpy as np
 
-    head = parse_avi_header(payload)
+    head = header if header is not None else parse_avi_header(payload)
     if head is None:
         return None
     width, height, _, _ = head
@@ -478,8 +493,11 @@ def avi_metadata(media: DataFrame) -> DataFrame:
         for pdf in it:
             heads, f0, fall = [], [], []
             for b in pdf["payload"]:
-                head = parse_avi_header(bytes(b))
-                means = decode_avi_frames(bytes(b)) if head else None
+                payload = bytes(b)  # one copy + one header walk per row
+                head = parse_avi_header(payload)
+                means = (
+                    decode_avi_frames(payload, header=head) if head else None
+                )
                 heads.append(head)
                 f0.append(means[0] if means else None)
                 fall.append(sum(means) / len(means) if means else None)

@@ -263,3 +263,58 @@ def test_avi_frame_sample_real_decode(spark):
         assert i % 6 == 2  # only real AVI rows produce frames
         exp = i + 7 * r["frame_idx"] + (h - 1) / 2.0
         assert abs(r["mean_luma"] - exp) < 1e-9
+
+
+def test_make_avi_rejects_wrapping_ramp_and_bad_fps():
+    """The arithmetic oracle depends on pixels never wrapping mod 256
+    and on fps dividing 1e6 — make_avi must ENFORCE both, not assume."""
+    import pytest as _pytest
+
+    from hugegraph_computer_spark.pipeline.multimodal import make_avi
+
+    with _pytest.raises(ValueError, match="wraps"):
+        make_avi(4, 4, n_frames=3, fps=10, seed=250)
+    with _pytest.raises(ValueError, match="divide"):
+        make_avi(4, 4, n_frames=3, fps=30)
+    assert make_avi(4, 4, n_frames=3, fps=10, seed=200)  # max 200+14+3 < 256
+
+
+def test_avi_second_stream_strf_does_not_veto_video():
+    """A later strl (e.g. an audio stream's >=40-byte strf) must not
+    overwrite the video stream's BI_RGB24 qualification — the check
+    ORs across streams."""
+    import struct
+
+    from hugegraph_computer_spark.pipeline.multimodal import (
+        _riff_chunk,
+        _riff_list,
+        decode_avi_frames,
+        make_avi,
+        parse_avi_header,
+    )
+
+    base = make_avi(6, 4, n_frames=2, fps=10, seed=3)
+    # split the generated file: RIFF header (12) + hdrl LIST + movi LIST
+    (hdrl_size,) = struct.unpack("<I", base[16:20])
+    hdrl_end = 12 + 8 + hdrl_size + (hdrl_size & 1)
+    hdrl_body = base[20:hdrl_end]
+    movi = base[hdrl_end:]
+    # append a second strl whose 44-byte strf is NOT 24-bit BI_RGB
+    audio_strf = struct.pack("<IiiHHI", 40, 0, 0, 1, 16, 1) + b"\x00" * 24
+    audio_strl = _riff_list(
+        b"strl",
+        _riff_chunk(b"strh", b"auds" + b"\x00" * 52)
+        + _riff_chunk(b"strf", audio_strf),
+    )
+    hdrl2 = _riff_list(b"hdrl", hdrl_body[4:] + audio_strl)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(hdrl2) + len(movi))
+        + b"AVI "
+        + hdrl2
+        + movi
+    )
+    head = parse_avi_header(payload)
+    assert head is not None and head[:2] == (6, 4)
+    means = decode_avi_frames(payload, header=head)
+    assert means == decode_avi_frames(base)

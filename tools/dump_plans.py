@@ -176,12 +176,12 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS plans_bstore_edges")
 
     # 9a. cc_fast round: one E-sized + two V-sized shuffles
-    from hugegraph_computer_spark.algorithms.cc_fast import cc_round
-
-    e = g.edges.select("src", "dst")
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from hugegraph_computer_spark.algorithms.cc_fast import (
+        cc_round,
+        symmetrize,
     )
+
+    sym = symmetrize(g.edges)
     cc_state = g.vertices.select("id", F.col("id").alias("comp"))
     sections.append(
         (
