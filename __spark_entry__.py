@@ -439,6 +439,45 @@ def _q_degree_capped(spark, sf_dir):
     return degree_centrality(_graph(spark, sf_dir).limit_out_edges(2))
 
 
+def _q_hits10(spark, sf_dir):
+    # HITS hubs/authorities — canonical link-graph companion to A1;
+    # same per-round shuffle budget as PageRank (algorithms/hits.py)
+    from hugegraph_computer_spark.algorithms.hits import hits
+
+    res = hits(_graph(spark, sf_dir), supersteps=10)
+    return res.state.select(
+        "id",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def _q_adamic_adar(spark, sf_dir):
+    # link prediction: top-100 non-adjacent pairs by Adamic-Adar with
+    # the hub-pivot degree cap (algorithms/linkpred.py)
+    from hugegraph_computer_spark.algorithms.linkpred import adamic_adar
+
+    return adamic_adar(_graph(spark, sf_dir), max_degree=32, k=100)
+
+
+def _q_anf3(spark, sf_dir):
+    # exact 3-hop neighborhood function on the bounded-ball reply
+    # subgraph (algorithms/anf.py — exact mode cannot scale past
+    # bounded balls; the sketch below is the 100-TB path)
+    from hugegraph_computer_spark.algorithms.anf import anf_exact
+
+    return anf_exact(_graph(spark, sf_dir), hops=3)
+
+
+def _q_anf3_sketch(spark, sf_dir):
+    # Flajolet-Martin ANF over the FULL undirected graph — constant
+    # per-vertex state, one bit_or E-shuffle per hop; deterministic
+    # hash makes even the sketch value-oracled
+    from hugegraph_computer_spark.algorithms.anf import anf_sketch
+
+    return anf_sketch(_graph(spark, sf_dir), hops=3, k=8)
+
+
 # -- training-data pipeline queries (documents / embeddings) -----------------
 
 
@@ -631,6 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_labeled": _q_subgraph_labeled,  # query-graph JSON + predicates
         "degree_capped": _q_degree_capped,  # limit_edges_in_one_vertex
         "louvain": _q_louvain,  # rows-only (order-dependent heuristic)
+        "hits10": _q_hits10,  # hubs/authorities power iteration
+        "adamic_adar": _q_adamic_adar,  # link prediction, hub-capped pivots
+        "anf3": _q_anf3,  # exact neighborhood function (bounded-ball subgraph)
+        "anf3_sketch": _q_anf3_sketch,  # FM-sketch ANF, the 100-TB path
         # training-data pipeline ops
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -691,6 +734,10 @@ def oracle_sql() -> dict[str, str]:
         "subgraph_wedge": osql.subgraph_wedge(),
         "subgraph_labeled": osql.subgraph_labeled(),
         "degree_capped": osql.degree_capped(n=2),
+        "hits10": osql.hits(supersteps=10),
+        "adamic_adar": osql.adamic_adar(max_degree=32, k=100),
+        "anf3": osql.anf_exact(hops=3),
+        "anf3_sketch": osql.anf_sketch(hops=3, k=8),
         "token_stats": osql.token_stats(),
         "quality_score": osql.quality_score(),
         "lang_id": osql.lang_id(),

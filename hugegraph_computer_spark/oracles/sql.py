@@ -1071,3 +1071,140 @@ def random_walks(walk_len: int = 6, walks_per_node: int = 1) -> str:
         for t in range(walk_len)
     )
     return _with(",\n".join(parts), selects)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 link-graph additions: HITS, Adamic-Adar, ANF exact + FM sketch
+# ---------------------------------------------------------------------------
+
+
+def hits(supersteps: int = 10) -> str:
+    """Unrolled HITS power iteration (algorithms/hits.py): per round an
+    in-gather (auth from hub), L2 normalization via a scalar subquery,
+    an out-gather (hub from the NEW auth), L2 normalization — over the
+    DISTINCT (src, dst) edge set, init auth = hub = 1.0."""
+    parts = [
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "s0 AS (SELECT id, 1.0 AS auth, 1.0 AS hub FROM nodes)",
+    ]
+    for r in range(supersteps):
+        parts.append(
+            f"ar{r} AS MATERIALIZED (SELECT e.dst AS id, sum(s.hub) AS s "
+            f"FROM s{r} s JOIN de e ON s.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(f"an{r} AS (SELECT sqrt(sum(s * s)) AS nrm FROM ar{r})")
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT n.id, "
+            f"coalesce(r.s, 0.0) / (SELECT nrm FROM an{r}) AS auth "
+            f"FROM nodes n LEFT JOIN ar{r} r ON n.id = r.id)"
+        )
+        parts.append(
+            f"hr{r} AS MATERIALIZED (SELECT e.src AS id, sum(a.auth) AS s "
+            f"FROM a{r} a JOIN de e ON a.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(f"hn{r} AS (SELECT sqrt(sum(s * s)) AS nrm FROM hr{r})")
+        parts.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT a.id, a.auth, "
+            f"coalesce(r.s, 0.0) / (SELECT nrm FROM hn{r}) AS hub "
+            f"FROM a{r} a LEFT JOIN hr{r} r ON a.id = r.id)"
+        )
+    return _with(
+        ",\n".join(parts),
+        f"SELECT id, round(auth, 6) AS auth, round(hub, 6) AS hub "
+        f"FROM s{supersteps}",
+    )
+
+
+def adamic_adar(max_degree: int = 32, k: int = 100) -> str:
+    """Adamic-Adar top-k over non-adjacent pairs (algorithms/linkpred.py):
+    pivots capped at undirected degree <= max_degree, score
+    sum(1/ln(deg(z))), anti-joined against existing undirected edges,
+    ordered by (round(score,6) DESC, u, w)."""
+    extra = f"""
+udeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+mid AS (SELECT id, d FROM udeg WHERE d <= {max_degree}),
+adj AS MATERIALIZED (
+  SELECT m.id AS z, e.dst AS n, m.d
+  FROM mid m JOIN und e ON m.id = e.src
+),
+cand AS (
+  SELECT e1.n AS u, e2.n AS w, e1.d AS zd
+  FROM adj e1 JOIN adj e2 ON e1.z = e2.z
+  WHERE e1.n < e2.n
+),
+scored AS (
+  SELECT u, w, count(*) AS common_neighbors, sum(1.0 / ln(zd)) AS aa
+  FROM cand GROUP BY u, w
+),
+nonedge AS (
+  SELECT s.* FROM scored s LEFT JOIN und e ON s.u = e.src AND s.w = e.dst
+  WHERE e.src IS NULL
+)
+"""
+    return _with(
+        extra.strip(),
+        f"SELECT u, w, common_neighbors, round(aa, 6) AS aa_score "
+        f"FROM nonedge ORDER BY round(aa, 6) DESC, u, w LIMIT {k}",
+    )
+
+
+def anf_exact(hops: int = 3) -> str:
+    """Exact h-hop reach counts on the reply-chain subgraph
+    (algorithms/anf.py::anf_exact): per hop, grow the (v, reached) ball
+    by one undirected step and dedup."""
+    parts = [
+        "re AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges WHERE etype = 'reply' "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges "
+        "WHERE etype = 'reply') WHERE src <> dst)",
+        "b0 AS (SELECT id AS v, id AS u FROM nodes)",
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f"b{h} AS MATERIALIZED (SELECT DISTINCT v, u FROM ("
+            f"SELECT v, u FROM b{h - 1} UNION ALL "
+            f"SELECT p.v, e.dst AS u FROM b{h - 1} p JOIN re e ON p.u = e.src))"
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT v AS id, CAST({h} AS INTEGER) AS hops, count(*) AS reach "
+        f"FROM b{h} GROUP BY v"
+        for h in range(1, hops + 1)
+    )
+    return _with(",\n".join(parts), f"SELECT id, hops, reach FROM ({counts})")
+
+
+def anf_sketch(hops: int = 3, k: int = 8) -> str:
+    """Flajolet-Martin ANF sketch (algorithms/anf.py::anf_sketch). The
+    register-seed and estimator SQL snippets are IMPORTED from the
+    Spark implementation, so both engines evaluate the identical
+    deterministic hash arithmetic; per hop, registers are bit_or-merged
+    from undirected neighbors."""
+    from hugegraph_computer_spark.algorithms.anf import (
+        DUCK_MD5INT,
+        _est_expr,
+        _seed_exprs,
+    )
+
+    seeds = ", ".join(_seed_exprs(k, DUCK_MD5INT))
+    parts = [
+        f"fm0 AS MATERIALIZED (SELECT id, {seeds} FROM nodes)",
+    ]
+    for h in range(1, hops + 1):
+        ors = ", ".join(f"bit_or(s.r{j}) AS m{j}" for j in range(k))
+        merged = ", ".join(
+            f"s.r{j} | coalesce(m.m{j}, CAST(0 AS BIGINT)) AS r{j}"
+            for j in range(k)
+        )
+        parts.append(
+            f"msg{h} AS MATERIALIZED (SELECT e.dst AS id, {ors} "
+            f"FROM fm{h - 1} s JOIN und e ON s.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"fm{h} AS MATERIALIZED (SELECT s.id, {merged} "
+            f"FROM fm{h - 1} s LEFT JOIN msg{h} m ON s.id = m.id)"
+        )
+    ests = " UNION ALL ".join(
+        f"SELECT id, CAST({h} AS INTEGER) AS hops, {_est_expr(k)} FROM fm{h}"
+        for h in range(1, hops + 1)
+    )
+    return _with(",\n".join(parts), f"SELECT id, hops, est FROM ({ests})")
