@@ -469,6 +469,15 @@ def _q_anf3(spark, sf_dir):
     return anf_exact(_graph(spark, sf_dir), hops=3)
 
 
+def _q_ktruss(spark, sf_dir):
+    # k-truss edge peeling — the cohesion notion one notch past kcore;
+    # Spark peels to a dynamic fixpoint, the oracle unrolls the
+    # idempotent peel map (algorithms/truss.py)
+    from hugegraph_computer_spark.algorithms.truss import ktruss
+
+    return ktruss(_graph(spark, sf_dir), k=3).edges
+
+
 def _q_anf3_sketch(spark, sf_dir):
     # Flajolet-Martin ANF over the FULL undirected graph — constant
     # per-vertex state, one bit_or E-shuffle per hop; deterministic
@@ -674,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": _q_adamic_adar,  # link prediction, hub-capped pivots
         "anf3": _q_anf3,  # exact neighborhood function (bounded-ball subgraph)
         "anf3_sketch": _q_anf3_sketch,  # FM-sketch ANF, the 100-TB path
+        "ktruss3": _q_ktruss,  # triangle-support edge peeling
         # training-data pipeline ops
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -738,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": osql.adamic_adar(max_degree=32, k=100),
         "anf3": osql.anf_exact(hops=3),
         "anf3_sketch": osql.anf_sketch(hops=3, k=8),
+        "ktruss3": osql.ktruss(k=3, rounds=12),
         "token_stats": osql.token_stats(),
         "quality_score": osql.quality_score(),
         "lang_id": osql.lang_id(),

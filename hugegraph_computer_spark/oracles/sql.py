@@ -1208,3 +1208,32 @@ def anf_sketch(hops: int = 3, k: int = 8) -> str:
         for h in range(1, hops + 1)
     )
     return _with(",\n".join(parts), f"SELECT id, hops, est FROM ({ests})")
+
+
+def ktruss(k: int = 4, rounds: int = 12) -> str:
+    """Unrolled k-truss peeling (algorithms/truss.py): each round
+    re-enumerates ordered triangles (a<b<c, wedge join on the middle
+    vertex + closing-edge membership) inside the surviving edge set and
+    keeps edges with support >= k-2. The peel map is idempotent at its
+    fixpoint, so unrolling MORE rounds than convergence needs is safe;
+    `rounds` just needs to be >= the cascade depth (Spark converges
+    dynamically and pytest pins the equality)."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM und WHERE src < dst)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"tr{r} AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM e{r} e1 JOIN e{r} e2 ON e1.v = e2.u "
+            f"JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT u, v, count(*) AS support "
+            f"FROM (SELECT a AS u, b AS v FROM tr{r} "
+            f"UNION ALL SELECT b AS u, c AS v FROM tr{r} "
+            f"UNION ALL SELECT a AS u, c AS v FROM tr{r}) "
+            f"GROUP BY u, v HAVING count(*) >= {k - 2})"
+        )
+    return _with(
+        ",\n".join(parts), f"SELECT u, v, support FROM e{rounds}"
+    )

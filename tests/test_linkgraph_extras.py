@@ -1,5 +1,5 @@
 """Round-5 link-graph additions: HITS, Adamic-Adar link prediction,
-and the exact/sketched neighborhood function (ANF)."""
+the exact/sketched neighborhood function (ANF), and k-truss peeling."""
 
 from __future__ import annotations
 
@@ -164,3 +164,67 @@ def test_anf_sketch_monotone_in_hops(sf_graph):
     for v, hs in by_v.items():
         # registers only gain bits round-over-round
         assert hs[2] >= hs[1] - 1e-9, v
+
+
+# -- k-truss -------------------------------------------------------------
+def _python_ktruss(pairs, k):
+    """Brute-force peel on the canonical undirected edge set."""
+    edges = set()
+    for s, d in pairs:
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    while True:
+        nbrs = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(nbrs[u] & nbrs[v]) for u, v in edges
+        }
+        keep = {e for e in edges if sup[e] >= k - 2}
+        if keep == edges:
+            return {e: sup[e] for e in edges}
+        edges = keep
+
+
+def test_ktruss_matches_python_peel(sf_graph, sf_edge_list):
+    from hugegraph_computer_spark.algorithms.truss import ktruss
+
+    _, edges = sf_edge_list
+    for k in (3, 4):
+        expected = _python_ktruss(edges, k)
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in ktruss(sf_graph, k=k).edges.collect()
+        }
+        assert got == expected, f"k={k}"
+
+
+def test_ktruss_cascade_unravels_pendant_triangles(spark):
+    """K4 + a triangle strip: the strip must unravel over MULTIPLE peel
+    rounds (each removal exposes the next layer), leaving exactly the
+    K4, whose edges all have support 2."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_computer_spark.algorithms.truss import ktruss
+    from hugegraph_computer_spark.graph import Graph
+
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1 :]]
+    # triangle STRIP d-e-f-g-h: interior edges start at support 2, the
+    # strip end at 1 — each peel round exposes the next layer inward
+    chain = [("d", "e"), ("e", "f"), ("f", "g"), ("g", "h"),
+             ("d", "f"), ("e", "g"), ("f", "h")]
+    pairs = k4 + chain
+    expected = _python_ktruss(pairs, 4)
+    assert set(expected) == set(k4)  # sanity: only the K4 survives
+
+    e = spark.createDataFrame(pairs, "src string, dst string").select(
+        "src", "dst", F.lit(1.0).alias("weight"), F.lit("und").alias("etype")
+    )
+    v = spark.createDataFrame(
+        [(x,) for x in "abcdefgh"], "id string"
+    )
+    res = ktruss(Graph(vertices=v, edges=e, partitions=2), k=4)
+    got = {(r["u"], r["v"]): r["support"] for r in res.edges.collect()}
+    assert got == expected
+    assert res.rounds >= 3  # the unravel genuinely cascaded
