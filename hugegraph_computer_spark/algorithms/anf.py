@@ -153,3 +153,34 @@ def anf_sketch(graph, hops: int = 3, k: int = 8) -> DataFrame:
     for df in per_hop[1:]:
         out = out.unionByName(df)
     return out
+
+
+def effective_diameter(anf_df: DataFrame, alpha: float = 0.9) -> DataFrame:
+    """Effective diameter from a neighborhood-function result (exact or
+    sketched): the smallest h whose total reach covers `alpha` of the
+    deepest hop's total — the headline statistic ANF/HyperANF exist to
+    estimate on web-scale graphs. Returns one row
+    (effective_diameter, coverage): coverage = total(h*)/total(H).
+
+    Driver-free: two tiny aggregations over the (id, hops, reach|est)
+    frame (V*hops rows), no action taken here."""
+    val = "reach" if "reach" in anf_df.columns else "est"
+    per_hop = anf_df.groupBy("hops").agg(F.sum(val).alias("total"))
+    deepest = per_hop.agg(F.max("hops").alias("mh")).select(
+        F.col("mh"), F.lit(1).alias("_k")
+    )
+    ranked = (
+        per_hop.select("hops", "total", F.lit(1).alias("_k"))
+        .join(deepest, "_k")
+        .join(
+            per_hop.select(F.col("total").alias("max_total"), F.col("hops").alias("mh")),
+            "mh",
+        )
+        .where(F.col("total") >= F.lit(alpha) * F.col("max_total"))
+    )
+    return ranked.agg(
+        F.min("hops").alias("effective_diameter"),
+        F.round(
+            F.min_by(F.col("total") / F.col("max_total"), F.col("hops")), 6
+        ).alias("coverage"),
+    )

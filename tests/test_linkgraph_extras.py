@@ -228,3 +228,22 @@ def test_ktruss_cascade_unravels_pendant_triangles(spark):
     got = {(r["u"], r["v"]): r["support"] for r in res.edges.collect()}
     assert got == expected
     assert res.rounds >= 3  # the unravel genuinely cascaded
+
+
+def test_effective_diameter_from_anf(sf_graph):
+    from hugegraph_computer_spark.algorithms.anf import (
+        anf_exact,
+        effective_diameter,
+    )
+
+    ex = anf_exact(sf_graph, hops=3)
+    row = effective_diameter(ex, alpha=0.9).collect()[0]
+    # python recompute
+    per = {
+        r["hops"]: r["sum(reach)"]
+        for r in ex.groupBy("hops").sum("reach").collect()
+    }
+    mx = per[max(per)]
+    exp = min(h for h, t in per.items() if t >= 0.9 * mx)
+    assert row["effective_diameter"] == exp
+    assert abs(row["coverage"] - round(per[exp] / mx, 6)) < 1e-12

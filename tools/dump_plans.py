@@ -199,6 +199,86 @@ def main() -> None:
         )
     )
 
+    # 9b. HITS half-round: E-shuffle gather with partial agg
+    from hugegraph_computer_spark.algorithms.hits import _gather
+
+    de = g.edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    h0 = g.vertices.select("id", F.lit(1.0).alias("hub"))
+    sections.append(
+        (
+            "HITS half-round gather (auth from hub)",
+            "One dst-keyed HashAggregate(sum) with the partial aggregate "
+            "below the Exchange — identical shape to the PageRank gather, "
+            "so HITS inherits every scaling measurement. The L2 norms are "
+            "driver scalars (one union-agg action per full round), never "
+            "a window or a second pass over E.",
+            fmt(_gather(de, h0, "src", "dst", "hub")),
+        )
+    )
+
+    # 9c. ANF sketch round: constant-width bit_or merge
+    from hugegraph_computer_spark.algorithms.anf import (
+        _seed_exprs,
+        _sym,
+    )
+
+    und_anf = _sym(g.edges, None)
+    fm0 = g.vertices.selectExpr("id", *_seed_exprs(4))
+    msgs = (
+        und_anf.join(fm0.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(*[F.expr(f"bit_or(r{j})").alias(f"m{j}") for j in range(4)])
+    )
+    sections.append(
+        (
+            "ANF sketch round (Flajolet-Martin bit_or merge)",
+            "The per-hop register merge is ONE E-sized Exchange whose "
+            "rows are (id, k longs) — constant width regardless of ball "
+            "size, with bit_or partial-aggregated below the shuffle. "
+            "Compare the exact mode, whose per-hop dedup shuffles the "
+            "materialized balls themselves (Theta(sum |B(v,h)|) rows): "
+            "this plan is why the sketch is the 100-TB path.",
+            fmt(msgs),
+        )
+    )
+
+    # 9d. k-truss support round: wedge join + closing semi-join
+    from hugegraph_computer_spark.algorithms.truss import _wedge_support
+
+    canon = (
+        g.undirected_single()
+        .edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    sections.append(
+        (
+            "k-truss support round (wedge join + closing semi-join)",
+            "Triangle support per edge: the wedge self-join on the middle "
+            "vertex, closed by a LEFT-SEMI join (no triangle row "
+            "materializes wider than (a,b,c)), then a 3-way union + "
+            "HashAggregate with map-side partial combine. AQE skew-join "
+            "splits hub pivots at runtime; the degree-orientation "
+            "refinement (pivot = lowest-degree endpoint) slots into this "
+            "one function if arboricity-bounded fan-out is ever needed.",
+            fmt(_wedge_support(canon)),
+        )
+    )
+
+    # 9e. Adamic-Adar: capped pivot fan-out + anti-join
+    from hugegraph_computer_spark.algorithms.linkpred import adamic_adar
+
+    sections.append(
+        (
+            "Adamic-Adar link prediction (capped pivots, top-k)",
+            "Candidate pairs come from a self-join co-located on the "
+            "pivot z AFTER the degree cap (max_degree) is applied — the "
+            "deg^2 hub blowup never reaches the shuffle. Existing edges "
+            "leave via a left-anti join, and the final top-k is "
+            "TakeOrderedAndProject (no full sort at any scale).",
+            fmt(adamic_adar(g, max_degree=32, k=100)),
+        )
+    )
+
     # 9. read_transcripts: name-select keeps projection pushdown intact
     from hugegraph_computer_spark.graph import read_transcripts
 
