@@ -79,8 +79,17 @@ def probe(workers: int = 8, seconds: float = 1.5) -> float:
     ]
     for p in procs:
         p.start()
-    vals = [q.get(timeout=120) for _ in procs]
+    # a worker that cannot report inside the timeout IS the signal of a
+    # badly contended (or memory-starved) window: score it 0 and let the
+    # quiet gate reject the window instead of crashing the hunt
+    vals = []
+    for _ in procs:
+        try:
+            vals.append(q.get(timeout=120))
+        except Exception:
+            vals.append(0.0)
     for p in procs:
+        p.terminate()
         p.join()
     return round(sum(vals) / 1e9, 2)
 
