@@ -583,6 +583,15 @@ def _q_random_walks(spark, sf_dir):
     return random_walks(_graph(spark, sf_dir), walk_len=6, walks_per_node=2)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # deterministic per-language downsample - the corpus-mixture op;
+    # md5-permutation rank, WindowGroupLimit keeps the shuffle at
+    # O(n * strata) (pipeline/sampling.py)
+    from hugegraph_computer_spark.pipeline.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), group_col="lang", n=20)
+
+
 def _q_multimodal(spark, sf_dir):
     from hugegraph_computer_spark.pipeline.multimodal import (
         extract_features,
@@ -698,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,  # IVF-Flat scale path (nprobe=1)
         "cosine_neardup": _q_cosine_neardup,
         "random_walks": _q_random_walks,
+        "stratified_sample": _q_stratified_sample,  # deterministic corpus mixture
         "multimodal_features": _q_multimodal,  # rows-only (synth media table)
         "multimodal_png": _q_multimodal_png,  # real IHDR decode, value-oracled
         "multimodal_wav": _q_multimodal_wav,  # real RIFF decode, value-oracled
@@ -768,4 +778,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": osql.ann_topk_ivf(n_queries=5, k=10, n_clusters=4),
         "cosine_neardup": osql.cosine_neardup_lsh(threshold=0.4, n_planes=6),
         "random_walks": osql.random_walks(walk_len=6, walks_per_node=2),
+        "stratified_sample": osql.stratified_sample(group_col="lang", n=20),
     }

@@ -1237,3 +1237,17 @@ def ktruss(k: int = 4, rounds: int = 12) -> str:
     return _with(
         ",\n".join(parts), f"SELECT u, v, support FROM e{rounds}"
     )
+
+
+def stratified_sample(group_col: str = "lang", n: int = 20, tag: str = "sample") -> str:
+    """Deterministic per-stratum downsample (pipeline/sampling.py): the
+    md5-permutation rank template is shared with the Spark side."""
+    from hugegraph_computer_spark.pipeline.sampling import DUCK_RANK_HASH
+
+    h = DUCK_RANK_HASH.format(tag=tag)
+    return (
+        f"SELECT doc_id, {group_col}, rank FROM ("
+        f"SELECT doc_id, {group_col}, CAST(row_number() OVER ("
+        f"PARTITION BY {group_col} ORDER BY {h}, doc_id) AS INTEGER) AS rank "
+        f"FROM documents) WHERE rank <= {n}"
+    )

@@ -247,3 +247,38 @@ def test_effective_diameter_from_anf(sf_graph):
     exp = min(h for h, t in per.items() if t >= 0.9 * mx)
     assert row["effective_diameter"] == exp
     assert abs(row["coverage"] - round(per[exp] / mx, 6)) < 1e-12
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    import hashlib
+
+    from hugegraph_computer_spark.pipeline.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(docs, group_col="lang", n=7).collect()
+    by_g: dict[str, list] = {}
+    for r in out:
+        by_g.setdefault(r["lang"], []).append((r["rank"], r["doc_id"]))
+    # python replay of the md5 permutation
+    rows = docs.select("doc_id", "lang").collect()
+    exp: dict[str, list] = {}
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r['doc_id']}:sample".encode()).hexdigest()[:15], 16
+        )
+        exp.setdefault(r["lang"], []).append((h, r["doc_id"]))
+    for g, pairs in exp.items():
+        want = [d for _, d in sorted(pairs)[:7]]
+        got = [d for _, d in sorted(by_g[g])]
+        assert got == want, g
+    # the rank-limit pushdown really is in the plan (the scale claim)
+    plan = (
+        stratified_sample(docs, "lang", 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    # an independent tag draws a different sample
+    other = stratified_sample(docs, "lang", 7, tag="sample2").collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}

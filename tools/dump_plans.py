@@ -279,6 +279,22 @@ def main() -> None:
         )
     )
 
+    # 9f. stratified sample: rank-limit pushdown below the shuffle
+    from hugegraph_computer_spark.pipeline.sampling import stratified_sample
+
+    sections.append(
+        (
+            "Stratified sample (WindowGroupLimit pushdown)",
+            "Deterministic per-stratum top-n under an md5 permutation: "
+            "Spark's rank-limit pushdown inserts a PARTIAL "
+            "WindowGroupLimit below the Exchange, so each map task ships "
+            "only its local top-n per stratum — the shuffle carries "
+            "O(n * strata) rows, not the corpus. rand()-based sampling "
+            "could not be oracled and would resample on every retry.",
+            fmt(stratified_sample(docs, group_col="lang", n=20)),
+        )
+    )
+
     # 9. read_transcripts: name-select keeps projection pushdown intact
     from hugegraph_computer_spark.graph import read_transcripts
 
