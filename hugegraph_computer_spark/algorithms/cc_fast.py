@@ -64,14 +64,19 @@ class CCResult:
 
 
 def _pin_changed(df: DataFrame) -> tuple[DataFrame, int]:
-    """Materialize a round's (id, comp, changed) through the cache (AQE
-    intact), collect the changed-count from the cached data, then pin a
-    lineage-free copy — one execution of the round plan total."""
-    df = df.persist()
+    """Materialize a round's (id, comp, changed) lineage-free and
+    collect the changed-count — ONE Spark action total.
+
+    Round-6 shape: a lazy localCheckpoint under AQE converts the round
+    plan adaptively (join strategies still runtime-chosen; the
+    conversion itself executes the shuffle stages), and the agg action
+    then materializes the checkpointed RDD while computing the count.
+    This replaces the earlier persist -> agg -> eager-checkpoint ->
+    unpersist dance, which stored every round twice (columnar cache +
+    checkpoint blocks) and paid an extra full-pass job per round."""
+    df = df.localCheckpoint(eager=False)
     changed = df.agg(F.sum(F.col("changed").cast("long"))).collect()[0][0]
-    out = df.localCheckpoint(eager=True)
-    df.unpersist()
-    return out, int(changed or 0)
+    return df, int(changed or 0)
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
@@ -142,7 +147,10 @@ def connected_components(graph, max_rounds: int = 50) -> CCResult:
     (OUT-direction) graph, not `both_direction()` (which would double
     the mirrored rows harmlessly but pointlessly).
     """
-    sym = symmetrize(graph.edges)
+    # pin the symmetrized view once: every round's relax join then scans
+    # a lineage-free RDD instead of re-planning the union-of-projections
+    # (and, when graph.edges itself is unpinned, its whole derivation)
+    sym = _pin(symmetrize(graph.edges))
 
     state = graph.vertices.select("id", F.col("id").alias("comp"))
     rounds = 0

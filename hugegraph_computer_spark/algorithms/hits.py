@@ -65,25 +65,42 @@ def hits(graph, supersteps: int = 10) -> HitsResult:
         # ONE driver collect (both L2 norms in a single union-agg job,
         # like the runner's per-superstep aggregator collect).
         araw = _gather(de, state.select("id", "hub"), "src", "dst", "hub")
-        braw = _gather(de, araw.withColumnRenamed("_s", "auth"), "dst", "src", "auth")
-        norms = (
-            araw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
-            .unionAll(braw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n")))
-            .collect()
-        )
-        # edgeless graph: empty gathers sum to NULL -> keep zero scores
-        na, nb = (float(r["n"] or 1.0) for r in norms)
-        state = _pin(
-            vertices.join(araw.withColumnRenamed("_s", "_a"), "id", "left")
-            .join(braw.withColumnRenamed("_s", "_b"), "id", "left")
-            .select(
-                "id",
-                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(na)).alias("auth"),
-                (F.coalesce(F.col("_b"), F.lit(0.0)) / F.lit(nb)).alias("hub"),
+        braw = None
+        try:
+            braw = _gather(
+                de, araw.withColumnRenamed("_s", "auth"), "dst", "src", "auth"
             )
-        )
-        araw.unpersist()
-        braw.unpersist()
+            # each agg row is tagged with a literal side key and unpacked
+            # BY KEY — the row order of a unioned collect is plan-order
+            # today but contracted nowhere, and a silent a/b swap would
+            # flip hub/auth normalization
+            norms = (
+                araw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
+                .select(F.lit("a").alias("side"), "n")
+                .unionAll(
+                    braw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
+                    .select(F.lit("b").alias("side"), "n")
+                )
+                .collect()
+            )
+            # edgeless graph: empty gathers sum to NULL -> keep zero scores
+            by_side = {r["side"]: float(r["n"] or 1.0) for r in norms}
+            na, nb = by_side["a"], by_side["b"]
+            state = _pin(
+                vertices.join(araw.withColumnRenamed("_s", "_a"), "id", "left")
+                .join(braw.withColumnRenamed("_s", "_b"), "id", "left")
+                .select(
+                    "id",
+                    (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(na)).alias("auth"),
+                    (F.coalesce(F.col("_b"), F.lit(0.0)) / F.lit(nb)).alias("hub"),
+                )
+            )
+        finally:
+            # unpersist in finally: a mid-round failure (collect / pin)
+            # must not leak two persisted gather frames per prior round
+            araw.unpersist()
+            if braw is not None:
+                braw.unpersist()
     return HitsResult(state=state, supersteps=supersteps)
 
 

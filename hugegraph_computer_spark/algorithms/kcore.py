@@ -26,11 +26,28 @@ from hugegraph_computer_spark.engine.superstep import StepOutput, VertexProgram
 
 class KCore(VertexProgram):
     name = "kcore"
+    # round-6: deletion notices go to ALL out-edges of newly-peeled
+    # vertices, so the in-flight message count is EXACTLY Σ outdeg over
+    # the just_deleted frontier — aggregated in the runner's one agg
+    # pass; the per-superstep count job + message checkpoint are
+    # dropped (guide §2.4)
+    needs_message_count = False
 
     def __init__(self, k: int = 3, max_supersteps: int = 100):
         # kcore.k default 3 (KCore.java:32-33)
         self.k = k
         self.max_supersteps = max_supersteps
+
+    @staticmethod
+    def _aggs():
+        return {
+            "expected_msgs": F.sum(
+                F.col("just_deleted").cast("long") * F.col("outdeg")
+            )
+        }
+
+    def master_continue(self, s: int, aggs: dict) -> bool:
+        return aggs["expected_msgs"] != 0
 
     def _scatter(self, edges):
         e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
@@ -52,8 +69,11 @@ class KCore(VertexProgram):
             .alias("core"),
             (F.col("outdeg") >= self.k).alias("alive"),
             (F.col("outdeg") < self.k).alias("just_deleted"),
+            "outdeg",
         )
-        return StepOutput(state=state, make_messages=self._scatter(g.edges))
+        return StepOutput(
+            state=state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)
+        )
 
     def superstep(self, s, g, state, messages, aggs) -> StepOutput:
         hits = messages.groupBy("dst").agg(F.count(F.lit(1)).alias("hits"))
@@ -69,8 +89,11 @@ class KCore(VertexProgram):
             .alias("core"),
             (F.col("alive") & ~dies).alias("alive"),
             dies.alias("just_deleted"),
+            "outdeg",
         )
-        return StepOutput(state=new_state, make_messages=self._scatter(g.edges))
+        return StepOutput(
+            state=new_state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)
+        )
 
     def finalize(self, state: DataFrame) -> DataFrame:
         return state.select("id", F.col("core").cast("long").alias("core"))

@@ -45,22 +45,10 @@ from pyspark.sql import functions as F
 
 _EPS = 1e-12
 
-
-def _pin(df: DataFrame) -> DataFrame:
-    """Materialize + truncate lineage, AQE-safely.
-
-    localCheckpoint alone converts the UNCACHED plan to an RDD outside
-    adaptive execution (statically planned join strategies — measured
-    ~60x slower for the local-move round shape), while persist alone
-    keeps the full logical plan growing round-over-round (explain
-    strings go exponential -> driver OOM). So: force the computation
-    through an AQE SQL action into cache, THEN checkpoint the (now
-    trivial) cache scan and release the cache entry."""
-    df = df.persist()
-    df.count()
-    out = df.localCheckpoint(eager=True)
-    df.unpersist()
-    return out
+# canonical implementation moved to engine.pin (round 6: the same pin
+# now also truncates the graph builder's base tables); re-exported here
+# because cc_fast/truss/hits import louvain._pin
+from hugegraph_computer_spark.engine.pin import pin as _pin  # noqa: E402
 
 
 def _undirected_adj(edges: DataFrame) -> DataFrame:

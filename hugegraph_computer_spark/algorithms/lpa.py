@@ -24,6 +24,13 @@ Scale notes: the vote is two shuffles (count agg + window by dst); the
 window partitions by dst so skewed in-degree hubs land in one task —
 AQE skew handling applies; for extreme hubs the count agg output is
 already tiny (distinct labels per dst), which bounds the window input.
+
+Halt accounting (round-6 optimization, guide §2.4): voters rebroadcast
+to ALL out-edges, so the in-flight message count is EXACTLY
+Σ outdeg over the `sent` frontier — an aggregate over the state the
+runner already collects in its one agg pass. The per-superstep
+message-count JOB (and the message checkpoint feeding it) is dropped
+(`needs_message_count = False`); the halt rule is value-identical.
 """
 
 from __future__ import annotations
@@ -36,9 +43,23 @@ from hugegraph_computer_spark.engine.superstep import StepOutput, VertexProgram
 
 class Lpa(VertexProgram):
     name = "lpa"
+    # halt from state aggregates (expected_msgs) — exact: senders
+    # rebroadcast to ALL out-edges, so count == Σ outdeg over senders
+    needs_message_count = False
 
     def __init__(self, max_supersteps: int = 10):
         self.max_supersteps = max_supersteps
+
+    @staticmethod
+    def _aggs():
+        return {
+            "expected_msgs": F.sum(
+                F.col("sent").cast("long") * F.col("outdeg")
+            )
+        }
+
+    def master_continue(self, s: int, aggs: dict) -> bool:
+        return aggs["expected_msgs"] != 0
 
     @staticmethod
     def _scatter(edges):
@@ -53,10 +74,18 @@ class Lpa(VertexProgram):
         return make
 
     def superstep0(self, g) -> StepOutput:
-        state = g.vertices.select(
-            "id", F.col("id").alias("label"), F.lit(True).alias("sent")
+        deg = g.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outdeg")
         )
-        return StepOutput(state=state, make_messages=self._scatter(g.edges))
+        state = g.vertices.join(deg, "id", "left").select(
+            "id",
+            F.col("id").alias("label"),
+            F.lit(True).alias("sent"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        )
+        return StepOutput(
+            state=state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)
+        )
 
     def superstep(self, s, g, state, messages, aggs) -> StepOutput:
         votes = messages.groupBy("dst", "msg").agg(F.count(F.lit(1)).alias("freq"))
@@ -71,8 +100,11 @@ class Lpa(VertexProgram):
             state["id"].alias("id"),
             F.coalesce("new_label", F.col("label")).alias("label"),
             F.col("new_label").isNotNull().alias("sent"),
+            "outdeg",
         )
-        return StepOutput(state=new_state, make_messages=self._scatter(g.edges))
+        return StepOutput(
+            state=new_state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)
+        )
 
     def finalize(self, state: DataFrame) -> DataFrame:
         return state.select("id", "label")

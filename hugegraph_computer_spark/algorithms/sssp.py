@@ -22,17 +22,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hugegraph_computer_spark.engine.skew import maybe_broadcast
-from hugegraph_computer_spark.engine.superstep import MSG_COUNT, StepOutput, VertexProgram
+from hugegraph_computer_spark.engine.superstep import StepOutput, VertexProgram
 
 INF = float("inf")
 
 
 class Sssp(VertexProgram):
     name = "sssp"
+    # round-6: the frontier scatters to ALL out-edges, so the in-flight
+    # message count is EXACTLY Σ outdeg over the changed frontier — an
+    # aggregate in the runner's one agg pass; the per-superstep count
+    # job + message checkpoint are dropped (guide §2.4)
+    needs_message_count = False
 
     def __init__(self, sources: list[str], max_supersteps: int = 200):
         self.sources = list(sources)
         self.max_supersteps = max_supersteps
+
+    @staticmethod
+    def _aggs():
+        return {
+            "expected_msgs": F.sum(
+                F.col("changed").cast("long") * F.col("outdeg")
+            )
+        }
+
+    def master_continue(self, s: int, aggs: dict) -> bool:
+        return aggs["expected_msgs"] != 0
 
     def _scatter(self, edges):
         e = edges.select(
@@ -54,15 +70,23 @@ class Sssp(VertexProgram):
 
     def superstep0(self, g) -> StepOutput:
         is_src = F.col("id").isin(self.sources)
-        state = g.vertices.select(
+        deg = g.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+        state = g.vertices.join(deg, "id", "left").select(
             "id",
             F.when(is_src, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
             is_src.alias("changed"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
         )
-        return StepOutput(state=state, make_messages=self._scatter(g.edges))
+        return StepOutput(
+            state=state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)
+        )
 
     def superstep(self, s, g, state, messages, aggs) -> StepOutput:
-        prev_msg_count = aggs.get(MSG_COUNT)
+        # expected_msgs == the exact prior message count, so the
+        # broadcast decision is unchanged from the counted-messages era
+        prev_msg_count = aggs.get("expected_msgs")
         incoming = messages.groupBy("dst").agg(F.min("msg").alias("msg_min"))
         incoming = maybe_broadcast(incoming, prev_msg_count)
         joined = state.join(incoming, state["id"] == incoming["dst"], "left")
@@ -71,8 +95,11 @@ class Sssp(VertexProgram):
             state["id"].alias("id"),
             F.when(improved, F.col("msg_min")).otherwise(F.col("dist")).alias("dist"),
             improved.alias("changed"),
+            "outdeg",
         )
-        return StepOutput(state=new_state, make_messages=self._scatter(g.edges))
+        return StepOutput(
+            state=new_state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)
+        )
 
     def finalize(self, state: DataFrame) -> DataFrame:
         # -1.0 = unreached (Sssp.java:58)

@@ -12,19 +12,26 @@ and sends L(v) = {w in N(v) : w < v} to every neighbor; superstep 1
 counts, per vertex v, sum over u in N(v) of |L(u) ∩ N(v)|
 (:174-195). Each triangle {a<b<c} contributes exactly 1 to each corner.
 
-Spark-first formulation: that per-vertex count equals the number of
-ordered pairs (u, w) with (v,u) ∈ E_und, (u,w) ∈ E_und, w < u, and
-(v,w) ∈ E_und — i.e. a two-hop join semi-joined against the edge set:
+Spark-first formulation (degree-ordered wedge enumeration): rank every
+vertex by (degree, id) and orient each undirected edge from the LOWER
+rank to the higher. Every triangle {x,y,z} with rank(x)<rank(y)<rank(z)
+then appears as exactly one oriented wedge x→y, x→z closed by y→z, so
+it is enumerated ONCE, at its lowest-rank corner:
 
-    cand = E ⋈ L on (e.dst = l.src)      (L = lower-oriented edges w<u)
-    tri  = cand ⋈ E on (v, w)            (closing edge check)
-    count(v) = |tri per v|,  0 for triangle-free vertices
+    ord    = orient(E_und, by (deg, id))       (out-deg ≤ O(√E) per vertex)
+    wedges = ord ⋈ ord on pivot, rank(a)<rank(b)
+    tri    = wedges ⋉ ord on (a, b)            (closing-edge semi-join)
+    count(v) = corner credits of tri,  0 for triangle-free vertices
 
 This replaces the reference's hub "superedge cache" (one neighbor-list
 message per target partition + pointer replay, TriangleCount.java:87-172)
-with pure hash joins: the same O(Σ deg(u)·deg_lower(u)) candidate work,
-but skew is handled by AQE skew-join splitting instead of a bespoke
-message cache — no giant collect_set rows, no 2 GB record ceiling.
+with pure hash joins. The (degree, id) orientation bounds candidate
+volume through any pivot by its LOWEST-degree endpoint's out-degree —
+O(E·arboricity) total instead of Σ hub-deg² — so a celebrity hub (the
+`role:`/`tool:` nodes of the transcript graph, which id-canonical
+orientation previously made pivots) contributes ~deg candidates, not
+~deg². Residual skew is still split by AQE skew-join at runtime — no
+giant collect_set rows, no 2 GB record ceiling.
 """
 
 from __future__ import annotations
@@ -33,24 +40,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _oriented(und: DataFrame) -> DataFrame:
+    """(lo, hi, dhi): each undirected edge once, oriented low-rank →
+    high-rank under the total order rank(x) = (degree(x), x); dhi is
+    the rank-degree of the high endpoint (carried so wedge pairs can be
+    rank-ordered without re-joining degrees)."""
+    deg = und.groupBy(F.col("src").alias("x")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    with_deg = und.join(
+        deg.select(F.col("x").alias("src"), F.col("d").alias("ds")), "src"
+    ).join(deg.select(F.col("x").alias("dst"), F.col("d").alias("dd")), "dst")
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    # und carries both directions of every edge, so keeping only the
+    # rank-ascending copy yields each undirected edge exactly once
+    return with_deg.where(fwd).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi"), F.col("dd").alias("dhi")
+    )
+
+
+def _triangles_once(und: DataFrame) -> DataFrame:
+    """(p, a, b): every triangle of the undirected SINGLE view exactly
+    once, enumerated at its lowest-(degree, id)-rank corner p with
+    rank(a) < rank(b)."""
+    o = _oriented(und)
+    left = o.select(F.col("lo").alias("p"), F.col("hi").alias("a"), F.col("dhi").alias("da"))
+    right = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"), F.col("dhi").alias("db"))
+    rank_lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    wedges = left.join(right, "p").where(rank_lt)
+    # closing edge: rank(a) < rank(b) means the oriented copy is (a, b)
+    closing = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    return wedges.join(closing, ["a", "b"], "left_semi").select("p", "a", "b")
+
+
 def triangle_count(g) -> DataFrame:
     """Per-vertex incident-triangle count over the undirected SINGLE view.
 
     Returns (id, triangles:long) for every vertex in g.vertices."""
     und = g.undirected_single().edges.select("src", "dst")
-    lower = und.where(F.col("dst") < F.col("src")).select(
-        F.col("src").alias("mid"), F.col("dst").alias("low")
+    tri = _triangles_once(und)
+    corners = (
+        tri.select(F.col("p").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("v")))
     )
-    # two-hop candidates: v -(und)-> mid -(lower)-> low
-    cand = und.join(lower, und["dst"] == lower["mid"]).select(
-        und["src"].alias("v"), "low"
-    )
-    # close the wedge: (v, low) must be an undirected edge. Inner join is
-    # correct (not semi): und is deduped so (v, low) matches at most once,
-    # and each candidate row must be counted individually.
-    closing = und.select(F.col("src").alias("v"), F.col("dst").alias("low"))
-    tri = cand.join(closing, ["v", "low"], "inner")
-    counts = tri.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
+    counts = corners.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
     return g.vertices.join(counts, g.vertices["id"] == counts["v"], "left").select(
         "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
     )

@@ -1,0 +1,73 @@
+"""AQE-safe materialize-and-truncate ("pin") for iterative plans.
+
+localCheckpoint alone converts the UNCACHED plan to an RDD outside
+adaptive execution (statically planned join strategies — measured ~60x
+slower for complex round shapes, see louvain), while persist alone
+keeps the full logical plan growing round-over-round (explain strings
+go exponential -> driver OOM). So: force the computation through an
+AQE SQL action into cache, THEN checkpoint the (now trivial) cache
+scan and release the cache entry. The result is a lineage-free
+LogicalRDD leaf that keeps its physical partitioning.
+
+Round-6 measurement note (BENCH/BASELINE.md round-4 floor profile +
+this round's re-profile): the per-superstep lazy-localCheckpoint
+plan->RDD conversion cost scales with the size of the plan tree being
+converted, and a persisted-but-not-pinned base table (e.g. the derived
+edge set) re-contributes its whole derivation subtree to EVERY
+superstep's plan. Pinning the base tables once at graph build removes
+that subtree from all downstream per-step planning.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+
+@contextmanager
+def static_conversion(spark):
+    """Temporarily disable AQE around a localCheckpoint call.
+
+    Two measured effects (round 6, see OPTIMIZATION_r06.md):
+    - an AQE-planned checkpoint reports UnknownPartitioning on its
+      LogicalRDD, so every downstream key-equal join/aggregation pays a
+      fresh Exchange; a statically-planned checkpoint KEEPS the plan's
+      hashpartitioning, making steady-state superstep joins
+      co-partitioned and exchange-free;
+    - AQE's plan->RDD conversion eagerly executes every query stage of
+      the plan (each submitted as its own Spark job: broadcast builds,
+      shuffle maps), so a lazy checkpoint under AQE pays several
+      scheduling round-trips before the action even starts.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage, AQE-safely (see module doc).
+
+    The cache fill (count) runs UNDER AQE — complex round plans keep
+    adaptive join planning — but the checkpoint of the now-trivial
+    cache scan is statically planned so the LogicalRDD keeps its hash
+    partitioning (`static_conversion`)."""
+    df = df.persist()
+    df.count()
+    with static_conversion(df.sparkSession):
+        out = df.localCheckpoint(eager=True)
+    df.unpersist()
+    return out
+
+
+def pin_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """`pin`, also returning the row count the pin already paid for."""
+    df = df.persist()
+    n = df.count()
+    with static_conversion(df.sparkSession):
+        out = df.localCheckpoint(eager=True)
+    df.unpersist()
+    return out, n

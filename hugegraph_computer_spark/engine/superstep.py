@@ -326,6 +326,14 @@ class PregelRunner:
                 steps_since_cut += 1
                 if steps_since_cut >= self.truncate_every:
                     _t = time.monotonic()
+                    # NOTE (round-6 A/B): converting this under
+                    # static_conversion (AQE off) preserves the state's
+                    # hash partitioning and yields a textbook 1-Exchange
+                    # static step plan, but loses AQE partition
+                    # coalescing — at floor-bound scale the 4x32 task
+                    # launches cost more than the saved Exchange
+                    # (steady step 1.59 s vs 0.88 s measured at sf0.1,
+                    # local[32]); the AQE conversion stays.
                     new_state = out.state.localCheckpoint(eager=False)
                     dur_ckpt = time.monotonic() - _t
                     steps_since_cut = 0

@@ -218,10 +218,20 @@ class Graph:
         if partitions:
             nodes = nodes.repartition(partitions, "id")
             edges = edges.repartition(partitions, "src")
+        nv = None
         if cache:
-            nodes = nodes.persist()
-            edges = edges.persist()
-        return cls(vertices=nodes, edges=edges, partitions=partitions)
+            # pin (materialize + lineage cut), not bare persist: a
+            # persisted-only base table re-contributes its entire
+            # derivation subtree to EVERY downstream superstep's plan,
+            # and the per-superstep plan->RDD conversion cost scales
+            # with that tree (BENCH/BASELINE.md floor profile; round-6
+            # re-measure: 0.56 s/step -> see OPTIMIZATION_r06.md). The
+            # pin's count doubles as num_vertices, saving one job.
+            from hugegraph_computer_spark.engine.pin import pin, pin_counted
+
+            nodes, nv = pin_counted(nodes)
+            edges = pin(edges)
+        return cls(vertices=nodes, edges=edges, partitions=partitions, _nv=nv)
 
     @property
     def num_vertices(self) -> int:
