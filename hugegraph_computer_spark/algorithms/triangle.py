@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hugegraph_computer_spark.engine.pin import pin
+
 
 def _oriented(und: DataFrame) -> DataFrame:
     """(lo, hi, dhi): each undirected edge once, oriented low-rank →
@@ -64,8 +66,13 @@ def _oriented(und: DataFrame) -> DataFrame:
 def _triangles_once(und: DataFrame) -> DataFrame:
     """(p, a, b): every triangle of the undirected SINGLE view exactly
     once, enumerated at its lowest-(degree, id)-rank corner p with
-    rank(a) < rank(b)."""
-    o = _oriented(und)
+    rank(a) < rank(b).
+
+    The oriented table is referenced three times (both wedge sides +
+    the closing semi-join), so it is pinned once — without the pin the
+    deg-join subtree is re-planned per reference and the physical plan
+    triples (plans/r06 audit)."""
+    o = pin(_oriented(und))
     left = o.select(F.col("lo").alias("p"), F.col("hi").alias("a"), F.col("dhi").alias("da"))
     right = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"), F.col("dhi").alias("db"))
     rank_lt = (F.col("da") < F.col("db")) | (
@@ -77,11 +84,8 @@ def _triangles_once(und: DataFrame) -> DataFrame:
     return wedges.join(closing, ["a", "b"], "left_semi").select("p", "a", "b")
 
 
-def triangle_count(g) -> DataFrame:
-    """Per-vertex incident-triangle count over the undirected SINGLE view.
-
-    Returns (id, triangles:long) for every vertex in g.vertices."""
-    und = g.undirected_single().edges.select("src", "dst")
+def _counts_from_und(g, und: DataFrame) -> DataFrame:
+    """(id, triangles) from a materialized undirected SINGLE view."""
     tri = _triangles_once(und)
     corners = (
         tri.select(F.col("p").alias("v"))
@@ -94,12 +98,23 @@ def triangle_count(g) -> DataFrame:
     )
 
 
+def triangle_count(g) -> DataFrame:
+    """Per-vertex incident-triangle count over the undirected SINGLE view.
+
+    Returns (id, triangles:long) for every vertex in g.vertices."""
+    # pinned: the view feeds the degree agg AND the orientation join
+    und = pin(g.undirected_single().edges.select("src", "dst"))
+    return _counts_from_und(g, und)
+
+
 def clustering_coefficient(g) -> DataFrame:
     """Local clustering coefficient C(v) = 2T / (D(D-1)) with D = |N(v)|
     over the undirected SINGLE view (ClusteringCoefficient.java:55-57);
     C = 0 where D < 2."""
-    tri = triangle_count(g)
-    und = g.undirected_single().edges
+    # one pinned undirected view shared by the triangle pass and the
+    # degree pass (round 6 — previously materialized twice)
+    und = pin(g.undirected_single().edges.select("src", "dst"))
+    tri = _counts_from_und(g, und)
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     joined = tri.join(deg, "id", "left").select(
         "id",

@@ -213,6 +213,10 @@ class Graph:
     def from_transcripts(
         cls, transcripts: DataFrame, partitions: int | None = None, cache: bool = True
     ) -> "Graph":
+        # NOTE (round-6 audit): distinct + repartition(id) does NOT pay
+        # two exchanges — the optimizer collapses them into one
+        # id-partitioned aggregate exchange (verified on the dumped
+        # plan), so no restructuring is needed here.
         nodes = derive_nodes(transcripts)
         edges = derive_edges(transcripts)
         if partitions:

@@ -305,21 +305,16 @@ def dedup_clusters(
 
     if pairs is None:
         pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
-    # persist both inputs through the iterative loop: every CC round is
-    # its own action re-reading the edge set, and pair GENERATION (the
-    # shingle self-join) is the expensive part — without the pin it
-    # would re-execute once per round
-    verts = docs.select(F.col("doc_id").alias("id")).persist()
-    edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).persist()
-    try:
-        g = Graph(vertices=verts, edges=edges)
-        # labels come back lineage-free (localCheckpoint pin per round)
-        labels = connected_components(g, max_rounds=max_rounds).labels
-    finally:
-        verts.unpersist()
-        edges.unpersist()
+    # round 6: connected_components pins the SYMMETRIZED pair graph once
+    # up front, so the expensive pair generation (the shingle self-join)
+    # executes exactly once into that pin — the previous persist-both-
+    # inputs-through-the-loop dance double-stored data that is now read
+    # a single time
+    verts = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    g = Graph(vertices=verts, edges=edges)
+    # labels come back lineage-free (localCheckpoint pin per round)
+    labels = connected_components(g, max_rounds=max_rounds).labels
     w = Window.partitionBy("canonical_id")
     return (
         labels.select(

@@ -53,20 +53,27 @@ def random_walks(g, walk_len: int = 6, walks_per_node: int = 1) -> DataFrame:
     """walks_per_node walks per vertex: returns (start, walk, step, node)
     rows, step 0 = the start vertex itself; `walk` is the per-start walk
     index, salted into the hash so walks diverge deterministically."""
+    from hugegraph_computer_spark.engine.pin import pin
+
     # renamed columns: the frontier re-joins this table every step, so
-    # unprefixed names would be ambiguous self-join references
-    eidx = indexed_edges(g.edges).select(
-        F.col("src").alias("e_src"),
-        F.col("dst").alias("e_dst"),
-        F.col("idx").cast("long").alias("e_idx"),
-        F.col("deg").alias("e_deg"),
+    # unprefixed names would be ambiguous self-join references. Pinned
+    # once (round 6): the walk loop references it walk_len-1 times, and
+    # without the pin each step's plan re-embeds (and trusts exchange
+    # reuse to dedupe) the distinct+window subtree.
+    eidx = pin(
+        indexed_edges(g.edges).select(
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+            F.col("idx").cast("long").alias("e_idx"),
+            F.col("deg").alias("e_deg"),
+        )
     )
-    # O(V)-sized degree table for phase 1 (pick computation)
-    vdeg = (
-        g.edges.select("src", "dst")
-        .distinct()
-        .groupBy(F.col("src").alias("d_src"))
-        .agg(F.count(F.lit(1)).alias("d_deg"))
+    # O(V)-sized degree table for phase 1 (pick computation) — sliced
+    # from the pinned index (idx 0 row per src) instead of a second
+    # distinct+groupBy pass over the edge list (round 6: one shuffle
+    # and one edge scan fewer; values identical by construction)
+    vdeg = eidx.where(F.col("e_idx") == 0).select(
+        F.col("e_src").alias("d_src"), F.col("e_deg").alias("d_deg")
     )
     spark = g.vertices.sparkSession
     salts = spark.range(walks_per_node).select(F.col("id").cast("int").alias("walk"))

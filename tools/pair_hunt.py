@@ -79,18 +79,27 @@ def probe(workers: int = 8, seconds: float = 1.5) -> float:
     ]
     for p in procs:
         p.start()
-    # a worker that cannot report inside the timeout IS the signal of a
+    # a worker that cannot report inside the budget IS the signal of a
     # badly contended (or memory-starved) window: score it 0 and let the
-    # quiet gate reject the window instead of crashing the hunt
+    # quiet gate reject the window instead of crashing the hunt. Drain
+    # against ONE shared deadline (not a per-get timeout — 8 wedged
+    # workers would otherwise stall ~16 min), and only terminate/join
+    # AFTER the drain so a terminate cannot corrupt the queue pipe for
+    # the remaining gets. Values carry no worker identity and are only
+    # summed, so a late value attributed to a different slot is harmless
+    # within one probe; the single deadline keeps it from leaking into
+    # the NEXT probe's queue (fresh Queue per probe call regardless).
+    deadline = time.monotonic() + 120
     vals = []
     for _ in procs:
         try:
-            vals.append(q.get(timeout=120))
+            vals.append(q.get(timeout=max(0.1, deadline - time.monotonic())))
         except Exception:
             vals.append(0.0)
     for p in procs:
         p.terminate()
-        p.join()
+    for p in procs:
+        p.join(timeout=10)
     return round(sum(vals) / 1e9, 2)
 
 
