@@ -39,8 +39,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hugegraph_computer_spark.engine.pin import pin
-
 
 def _oriented(und: DataFrame) -> DataFrame:
     """(lo, hi, dhi): each undirected edge once, oriented low-rank →
@@ -69,10 +67,13 @@ def _triangles_once(und: DataFrame) -> DataFrame:
     rank(a) < rank(b).
 
     The oriented table is referenced three times (both wedge sides +
-    the closing semi-join), so it is pinned once — without the pin the
-    deg-join subtree is re-planned per reference and the physical plan
-    triples (plans/r06 audit)."""
-    o = pin(_oriented(und))
+    the closing semi-join), so it is persisted — computed once, read
+    from cache by the other references. A LAZY persist (not an eager
+    pin): downstream count-only consumers keep full optimizer freedom
+    (the final vertices left-join is eliminated under count(), and a
+    lazy cache then never materializes anything), while any consumer
+    that touches the data computes the orientation exactly once."""
+    o = _oriented(und).persist()
     left = o.select(F.col("lo").alias("p"), F.col("hi").alias("a"), F.col("dhi").alias("da"))
     right = o.select(F.col("lo").alias("p"), F.col("hi").alias("b"), F.col("dhi").alias("db"))
     rank_lt = (F.col("da") < F.col("db")) | (
@@ -102,8 +103,9 @@ def triangle_count(g) -> DataFrame:
     """Per-vertex incident-triangle count over the undirected SINGLE view.
 
     Returns (id, triangles:long) for every vertex in g.vertices."""
-    # pinned: the view feeds the degree agg AND the orientation join
-    und = pin(g.undirected_single().edges.select("src", "dst"))
+    # lazy persist (see _triangles_once): the view feeds the degree agg
+    # AND the orientation join, but must not materialize eagerly
+    und = g.undirected_single().edges.select("src", "dst").persist()
     return _counts_from_und(g, und)
 
 
@@ -111,9 +113,9 @@ def clustering_coefficient(g) -> DataFrame:
     """Local clustering coefficient C(v) = 2T / (D(D-1)) with D = |N(v)|
     over the undirected SINGLE view (ClusteringCoefficient.java:55-57);
     C = 0 where D < 2."""
-    # one pinned undirected view shared by the triangle pass and the
-    # degree pass (round 6 — previously materialized twice)
-    und = pin(g.undirected_single().edges.select("src", "dst"))
+    # one cached undirected view shared by the triangle pass and the
+    # degree pass (round 6 — previously derived twice)
+    und = g.undirected_single().edges.select("src", "dst").persist()
     tri = _counts_from_und(g, und)
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     joined = tri.join(deg, "id", "left").select(

@@ -224,17 +224,19 @@ class Graph:
             edges = edges.repartition(partitions, "src")
         nv = None
         if cache:
-            # pin (materialize + lineage cut), not bare persist: a
-            # persisted-only base table re-contributes its entire
-            # derivation subtree to EVERY downstream superstep's plan,
-            # and the per-superstep plan->RDD conversion cost scales
-            # with that tree (BENCH/BASELINE.md floor profile; round-6
-            # re-measure: 0.56 s/step -> see OPTIMIZATION_r06.md). The
-            # pin's count doubles as num_vertices, saving one job.
-            from hugegraph_computer_spark.engine.pin import pin, pin_counted
-
-            nodes, nv = pin_counted(nodes)
-            edges = pin(edges)
+            # lineage cut + materialize in ONE pass (round 6): a bare
+            # persist re-contributes the entire derivation subtree to
+            # EVERY downstream superstep's plan (the dumped PageRank
+            # step plan was 1532 lines; 166 after the cut). The lazy
+            # localCheckpoint converts under AQE (adaptive derivation
+            # execution) and the count materializes the checkpoint
+            # blocks directly — measured 2x cheaper at sf0.1 than the
+            # persist->count->checkpoint->unpersist pin, which stores
+            # the data twice. The count doubles as num_vertices.
+            nodes = nodes.localCheckpoint(eager=False)
+            nv = nodes.count()
+            edges = edges.localCheckpoint(eager=False)
+            edges.count()
         return cls(vertices=nodes, edges=edges, partitions=partitions, _nv=nv)
 
     @property
