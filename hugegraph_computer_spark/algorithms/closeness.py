@@ -62,15 +62,20 @@ def closeness_centrality(
         frontier = frontier.where(
             source_sample_predicate(F.col("start"), sample_rate)
         )
-    frontier = (
+    from hugegraph_computer_spark.engine.pin import cut_counted
+
+    # round-6 round plumbing: lazy lineage cuts whose materializing
+    # count doubles as the emptiness check — replaces one eager
+    # checkpoint pass + one isEmpty job per frame per round
+    frontier, n_frontier = cut_counted(
         frontier.groupBy("id", "start").agg(F.min("dist").alias("dist"))
-    ).localCheckpoint(eager=True)
+    )
 
     dists = frontier  # accumulated per-(vertex,start) minima
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        if frontier.isEmpty():
+        if n_frontier == 0:
             break
         # forward improvements: dist + w to out-targets (skip start/self)
         fwd = (
@@ -85,18 +90,20 @@ def closeness_centrality(
         cand = fwd.groupBy("id", "start").agg(F.min("dist").alias("dist"))
         # keep only true improvements vs accumulated state
         old = dists.select("id", "start", F.col("dist").alias("old"))
-        improved = (
+        improved, n_frontier = cut_counted(
             cand.join(old, ["id", "start"], "left")
             .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
             .select("id", "start", "dist")
-        ).localCheckpoint(eager=True)
-        if improved.isEmpty():
+        )
+        if n_frontier == 0:
             break
+        # lazy cut: materialized by the next round's improvement join
+        # (or the final centrality aggregation), then read as stored
         dists = (
             dists.unionByName(improved)
             .groupBy("id", "start")
             .agg(F.min("dist").alias("dist"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = improved
 
     cent = dists.groupBy("id").agg(

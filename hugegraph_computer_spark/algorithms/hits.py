@@ -50,7 +50,17 @@ class HitsResult:
 def hits(graph, supersteps: int = 10) -> HitsResult:
     """Run `supersteps` rounds of hub/authority power iteration over
     graph.edges' distinct (src, dst) pairs. Returns L2-normalized
-    scores for every vertex."""
+    scores for every vertex.
+
+    Round plumbing (round 6, the PageRank pattern): the two gather
+    frames and the new state are LAZY localCheckpoints — lineage-free,
+    and all three materialize into checkpoint blocks under the round's
+    single norms-collect job (braw roots at araw's RDD; the next
+    round's gather reads the stored state). This replaced a
+    persist → collect → eager-pin → unpersist dance that paid ~5 Spark
+    jobs and a double store per round (bench_extra: hits10 at sf0.01
+    went from 22.0 s to the re-measured figure in OPTIMIZATION_r06.md).
+    """
     de = _pin(graph.edges.select("src", "dst").dropDuplicates(["src", "dst"]))
     vertices = graph.vertices.select("id")
     state = vertices.select(
@@ -65,42 +75,35 @@ def hits(graph, supersteps: int = 10) -> HitsResult:
         # ONE driver collect (both L2 norms in a single union-agg job,
         # like the runner's per-superstep aggregator collect).
         araw = _gather(de, state.select("id", "hub"), "src", "dst", "hub")
-        braw = None
-        try:
-            braw = _gather(
-                de, araw.withColumnRenamed("_s", "auth"), "dst", "src", "auth"
+        braw = _gather(
+            de, araw.withColumnRenamed("_s", "auth"), "dst", "src", "auth"
+        )
+        # each agg row is tagged with a literal side key and unpacked
+        # BY KEY — the row order of a unioned collect is plan-order
+        # today but contracted nowhere, and a silent a/b swap would
+        # flip hub/auth normalization
+        norms = (
+            araw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
+            .select(F.lit("a").alias("side"), "n")
+            .unionAll(
+                braw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
+                .select(F.lit("b").alias("side"), "n")
             )
-            # each agg row is tagged with a literal side key and unpacked
-            # BY KEY — the row order of a unioned collect is plan-order
-            # today but contracted nowhere, and a silent a/b swap would
-            # flip hub/auth normalization
-            norms = (
-                araw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
-                .select(F.lit("a").alias("side"), "n")
-                .unionAll(
-                    braw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
-                    .select(F.lit("b").alias("side"), "n")
-                )
-                .collect()
+            .collect()
+        )
+        # edgeless graph: empty gathers sum to NULL -> keep zero scores
+        by_side = {r["side"]: float(r["n"] or 1.0) for r in norms}
+        na, nb = by_side["a"], by_side["b"]
+        state = (
+            vertices.join(araw.withColumnRenamed("_s", "_a"), "id", "left")
+            .join(braw.withColumnRenamed("_s", "_b"), "id", "left")
+            .select(
+                "id",
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(na)).alias("auth"),
+                (F.coalesce(F.col("_b"), F.lit(0.0)) / F.lit(nb)).alias("hub"),
             )
-            # edgeless graph: empty gathers sum to NULL -> keep zero scores
-            by_side = {r["side"]: float(r["n"] or 1.0) for r in norms}
-            na, nb = by_side["a"], by_side["b"]
-            state = _pin(
-                vertices.join(araw.withColumnRenamed("_s", "_a"), "id", "left")
-                .join(braw.withColumnRenamed("_s", "_b"), "id", "left")
-                .select(
-                    "id",
-                    (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(na)).alias("auth"),
-                    (F.coalesce(F.col("_b"), F.lit(0.0)) / F.lit(nb)).alias("hub"),
-                )
-            )
-        finally:
-            # unpersist in finally: a mid-round failure (collect / pin)
-            # must not leak two persisted gather frames per prior round
-            araw.unpersist()
-            if braw is not None:
-                braw.unpersist()
+            .localCheckpoint(eager=False)
+        )
     return HitsResult(state=state, supersteps=supersteps)
 
 
@@ -108,12 +111,14 @@ def _gather(
     de: DataFrame, scores: DataFrame, src: str, dst: str, in_col: str
 ) -> DataFrame:
     """Sum `in_col` over the `src`-side endpoints into each `dst`
-    endpoint — the per-half-round E-shuffle, persisted."""
+    endpoint — the per-half-round E-shuffle, returned as a lazy
+    lineage cut (stored on first materialization, read as an RDD leaf
+    by every later reference)."""
     return (
         de.join(scores.withColumnRenamed("id", src), src)
         .groupBy(F.col(dst).alias("id"))
         .agg(F.sum(in_col).alias("_s"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 

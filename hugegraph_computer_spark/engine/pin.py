@@ -71,3 +71,16 @@ def pin_counted(df: DataFrame) -> tuple[DataFrame, int]:
         out = df.localCheckpoint(eager=True)
     df.unpersist()
     return out, n
+
+
+def cut_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """Lazy lineage cut + materializing count — ONE pass, one store.
+
+    The lazy localCheckpoint converts under AQE (adaptive execution of
+    the plan's stages) and the count materializes the checkpoint blocks
+    directly; later references read the stored RDD. Prefer this over
+    `pin_counted` unless the preserved hash partitioning of the
+    cache-scan pin is specifically needed — the pin stores the data
+    twice (columnar cache + checkpoint blocks) for the same effect."""
+    df = df.localCheckpoint(eager=False)
+    return df, df.count()

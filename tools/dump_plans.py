@@ -65,8 +65,11 @@ def main() -> None:
             "gather = HashAggregate(sum) with a partial aggregate below "
             "the Exchange (map-side combine == the reference's send-buffer "
             "combiner, CombineKvInnerSortFlusher.java:29-45); the scatter/"
-            "update joins hash-join against the cached edge table. Two "
-            "shuffles per superstep: messages by dst + state co-location.",
+            "update joins hash-join against the LINEAGE-CUT edge table "
+            "(round 6: Scan ExistingRDD leaf — the full derivation subtree "
+            "no longer re-plans every superstep; step plan 1532 -> 166 "
+            "lines, plans/r06/). Two shuffles per superstep: messages by "
+            "dst + state co-location.",
             fmt(out1.state),
         )
     )
@@ -74,10 +77,13 @@ def main() -> None:
     # 3. triangle count joins
     sections.append(
         (
-            "TriangleCount (two-hop join + closing-edge join)",
-            "Pure hash joins over the deduped undirected view — no "
-            "adjacency arrays, no Python. Skewed hubs are split by AQE "
-            "skew-join (OptimizeSkewedJoin) at runtime; this replaces the "
+            "TriangleCount (degree-ordered wedge enumeration)",
+            "Edges oriented low->high under rank(x) = (degree(x), id(x)): "
+            "every triangle is one wedge at its lowest-rank corner, closed "
+            "by a semi-join — candidate volume bounded by O(E*arboricity) "
+            "instead of hub-deg^2 (round-6 fix; noop-sink A/B at sf0.1: "
+            "143-180 s id-oriented vs 2.5 s degree-oriented). Pure hash "
+            "joins, no adjacency arrays, no Python; this replaces the "
             "reference's bespoke superedge message cache "
             "(TriangleCount.java:87-172).",
             fmt(triangle_count(g)),
