@@ -74,14 +74,12 @@ class Lpa(VertexProgram):
         return make
 
     def superstep0(self, g) -> StepOutput:
-        deg = g.edges.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("outdeg")
-        )
-        state = g.vertices.join(deg, "id", "left").select(
+        # graph-memoized degree table (shared with PageRank/SSSP/KCore)
+        state = g.out_degrees().select(
             "id",
             F.col("id").alias("label"),
             F.lit(True).alias("sent"),
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            "outdeg",
         )
         return StepOutput(
             state=state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)
@@ -89,11 +87,16 @@ class Lpa(VertexProgram):
 
     def superstep(self, s, g, state, messages, aggs) -> StepOutput:
         votes = messages.groupBy("dst", "msg").agg(F.count(F.lit(1)).alias("freq"))
-        w = Window.partitionBy("dst").orderBy(F.desc("freq"), F.asc("msg"))
-        winners = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("dst", F.col("msg").alias("new_label"))
+        # winner = max freq, ties by MIN label == min over the
+        # (-freq, label) lexicographic struct. An aggregation (with
+        # map-side partials) instead of the previous row_number window,
+        # which paid an extra sort per superstep for the same winner
+        # (round 6; msg is unique per dst after the count groupBy, so
+        # the struct order is total and the result identical).
+        winners = votes.groupBy("dst").agg(
+            F.min_by(
+                "msg", F.struct((-F.col("freq")).alias("nf"), F.col("msg"))
+            ).alias("new_label")
         )
         joined = state.join(winners, state["id"] == winners["dst"], "left")
         new_state = joined.select(

@@ -78,7 +78,8 @@ class PageRank(VertexProgram):
     def prepare(self, g) -> None:
         self._n = g.num_vertices
         if self._deg is None:
-            self._deg = g.out_degrees().persist()
+            # graph-memoized + persisted (Graph.out_degrees, round 6)
+            self._deg = g.out_degrees()
 
     def superstep0(self, g) -> StepOutput:
         init = 1.0 / self._n

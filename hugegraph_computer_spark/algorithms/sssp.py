@@ -70,14 +70,12 @@ class Sssp(VertexProgram):
 
     def superstep0(self, g) -> StepOutput:
         is_src = F.col("id").isin(self.sources)
-        deg = g.edges.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("outdeg")
-        )
-        state = g.vertices.join(deg, "id", "left").select(
+        # graph-memoized degree table (shared with PageRank/LPA/KCore)
+        state = g.out_degrees().select(
             "id",
             F.when(is_src, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
             is_src.alias("changed"),
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            "outdeg",
         )
         return StepOutput(
             state=state, agg_exprs=self._aggs(), make_messages=self._scatter(g.edges)

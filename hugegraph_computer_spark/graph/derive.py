@@ -208,6 +208,7 @@ class Graph:
     edges: DataFrame
     partitions: int | None = None
     _nv: int | None = field(default=None, repr=False)
+    _deg: DataFrame | None = field(default=None, repr=False)
 
     @classmethod
     def from_transcripts(
@@ -247,13 +248,23 @@ class Graph:
 
     def out_degrees(self) -> DataFrame:
         """(id, outdeg) for every vertex, 0 for dangling — one edge-count
-        per edge record, matching Vertex.numEdges() over loaded edges."""
-        deg = self.edges.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("outdeg")
-        )
-        return self.vertices.join(deg, "id", "left").select(
-            "id", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
-        )
+        per edge record, matching Vertex.numEdges() over loaded edges.
+
+        Memoized + persisted per Graph (round 6): PageRank, LPA, SSSP
+        and KCore all start from this table, so on a shared graph the
+        E-sized aggregation and vertex join run once, not once per
+        algorithm. Views that change the edge set (both_direction,
+        in_direction, ...) construct fresh Graphs and get their own."""
+        if self._deg is None:
+            deg = self.edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("outdeg")
+            )
+            self._deg = (
+                self.vertices.join(deg, "id", "left")
+                .select("id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+                .persist()
+            )
+        return self._deg
 
     def both_direction(self) -> "Graph":
         """Mirror every edge dst->src with inv=true (reference R5,
