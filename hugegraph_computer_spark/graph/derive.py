@@ -385,7 +385,17 @@ class Graph:
         if self.partitions:
             verts = verts.repartition(self.partitions, "id")
             edges = edges.repartition(self.partitions, "src")
-        dense = Graph(verts.persist(), edges.persist(), self.partitions, self._nv)
+        # lineage cut, not bare persist (round 6, same rationale as
+        # from_transcripts): without it every dense superstep's plan
+        # re-embeds the mapping joins; the checkpoints materialize on
+        # first action and read the pinned mapping cache, so the
+        # (non-deterministic) id assignment stays fixed
+        dense = Graph(
+            verts.localCheckpoint(eager=False),
+            edges.localCheckpoint(eager=False),
+            self.partitions,
+            self._nv,
+        )
         return dense, mapping
 
 
