@@ -385,17 +385,15 @@ class Graph:
         if self.partitions:
             verts = verts.repartition(self.partitions, "id")
             edges = edges.repartition(self.partitions, "src")
-        # lineage cut, not bare persist (round 6, same rationale as
-        # from_transcripts): without it every dense superstep's plan
-        # re-embeds the mapping joins; the checkpoints materialize on
-        # first action and read the pinned mapping cache, so the
-        # (non-deterministic) id assignment stays fixed
-        dense = Graph(
-            verts.localCheckpoint(eager=False),
-            edges.localCheckpoint(eager=False),
-            self.partitions,
-            self._nv,
-        )
+        # persist, NOT a lineage cut (round-6 A/B): a localCheckpoint
+        # stores row-format RDD blocks, losing the columnar cache's
+        # column pruning + compression — on the data-bound dense x64
+        # path every superstep then re-reads ~3x the bytes (8-core leg
+        # 206.8 s persist vs 245.1 s checkpoint, adjacent quiet
+        # windows). The dense tables are scanned O(supersteps) times,
+        # so storage format beats the per-step re-analysis of this
+        # (small: two joins over pinned inputs) plan subtree.
+        dense = Graph(verts.persist(), edges.persist(), self.partitions, self._nv)
         return dense, mapping
 
 
