@@ -15,15 +15,18 @@ Semantics reproduced exactly:
   bsp.max_super_step (default 10 -> supersteps 0..9, i.e. 9 vote
   rounds; MasterService.java:353-364 stops at s >= max-1).
 
-Spark mapping of the vote: groupBy(dst, label).count() then one window
-row_number() over (partition by dst order by count desc, label asc) —
-no collect_list, no per-row Python. maxFreq starts at 1 (Lpa.java:82)
-so a single message always wins — count>=1 always satisfies it.
+Spark mapping of the vote: groupBy(dst, label).count() then a
+min_by over the (-freq, label) struct per dst — the max-frequency
+label with ties broken by MINIMUM label (naturalOrder on ids == byte
+order), as an aggregation with map-side partials instead of a
+row_number window (round 6: same winner, no per-superstep sort). No
+collect_list, no per-row Python. maxFreq starts at 1 (Lpa.java:82) so
+a single message always wins — count>=1 always satisfies it.
 
-Scale notes: the vote is two shuffles (count agg + window by dst); the
-window partitions by dst so skewed in-degree hubs land in one task —
-AQE skew handling applies; for extreme hubs the count agg output is
-already tiny (distinct labels per dst), which bounds the window input.
+Scale notes: the vote is two shuffles (count agg + winner agg by dst);
+skewed in-degree hubs are absorbed by the partial aggregates, and the
+count agg output is already tiny (distinct labels per dst), which
+bounds the winner agg's input.
 
 Halt accounting (round-6 optimization, guide §2.4): voters rebroadcast
 to ALL out-edges, so the in-flight message count is EXACTLY
@@ -35,7 +38,7 @@ message-count JOB (and the message checkpoint feeding it) is dropped
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hugegraph_computer_spark.engine.superstep import StepOutput, VertexProgram
