@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hugegraph_computer_spark.algorithms.louvain import _pin
+from hugegraph_computer_spark.engine.pin import static_plan_scope
+from hugegraph_computer_spark.engine.superstep import PregelRunner
 
 
 @dataclass
@@ -154,11 +156,19 @@ def connected_components(graph, max_rounds: int = 50) -> CCResult:
 
     state = graph.vertices.select("id", F.col("id").alias("comp"))
     rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
-        state, changed = _pin_changed(cc_round(sym, state))
-        if changed == 0:
-            break
+    # Same data-derived planner decision as the Pregel runner: when the
+    # per-round data is too small to amortize AQE's per-stage job
+    # scheduling, run the rounds statically at a derived partition count
+    # (None -> no-op scope, AQE behavior unchanged). Round counts are
+    # value-driven (exact integer changed-count), so they cannot move.
+    spark = graph.vertices.sparkSession
+    static_p = PregelRunner._static_step_partitions(graph, spark)
+    with static_plan_scope(spark, static_p):
+        while rounds < max_rounds:
+            rounds += 1
+            state, changed = _pin_changed(cc_round(sym, state))
+            if changed == 0:
+                break
 
     return CCResult(labels=state.select("id", "comp"), rounds=rounds)
 

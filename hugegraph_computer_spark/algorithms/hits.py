@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hugegraph_computer_spark.algorithms.louvain import _pin
+from hugegraph_computer_spark.engine.pin import static_plan_scope
+from hugegraph_computer_spark.engine.superstep import PregelRunner
 
 
 @dataclass
@@ -66,44 +68,50 @@ def hits(graph, supersteps: int = 10) -> HitsResult:
     state = vertices.select(
         "id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
     )
-    for _ in range(supersteps):
-        # Normalization scalars cancel through the linear gathers:
-        #   auth_t = A_t/||A_t||  with A_t   = gather_in(hub_{t-1})
-        #   hub_t  = B_t/||B_t||  with B_t   = gather_out(auth_t)
-        #                              = gather_out(A_t)/||A_t||
-        # so BOTH gathers run on unnormalized sums and the round needs
-        # ONE driver collect (both L2 norms in a single union-agg job,
-        # like the runner's per-superstep aggregator collect).
-        araw = _gather(de, state.select("id", "hub"), "src", "dst", "hub")
-        braw = _gather(
-            de, araw.withColumnRenamed("_s", "auth"), "dst", "src", "auth"
-        )
-        # each agg row is tagged with a literal side key and unpacked
-        # BY KEY — the row order of a unioned collect is plan-order
-        # today but contracted nowhere, and a silent a/b swap would
-        # flip hub/auth normalization
-        norms = (
-            araw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
-            .select(F.lit("a").alias("side"), "n")
-            .unionAll(
-                braw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
-                .select(F.lit("b").alias("side"), "n")
+    # same data-derived planner decision as the Pregel runner: static
+    # rounds at a derived partition count when the per-round data is
+    # floor-bound, AQE (no-op scope) otherwise — see engine/superstep.py
+    spark = graph.vertices.sparkSession
+    static_p = PregelRunner._static_step_partitions(graph, spark)
+    with static_plan_scope(spark, static_p):
+        for _ in range(supersteps):
+            # Normalization scalars cancel through the linear gathers:
+            #   auth_t = A_t/||A_t||  with A_t   = gather_in(hub_{t-1})
+            #   hub_t  = B_t/||B_t||  with B_t   = gather_out(auth_t)
+            #                              = gather_out(A_t)/||A_t||
+            # so BOTH gathers run on unnormalized sums and the round needs
+            # ONE driver collect (both L2 norms in a single union-agg job,
+            # like the runner's per-superstep aggregator collect).
+            araw = _gather(de, state.select("id", "hub"), "src", "dst", "hub")
+            braw = _gather(
+                de, araw.withColumnRenamed("_s", "auth"), "dst", "src", "auth"
             )
-            .collect()
-        )
-        # edgeless graph: empty gathers sum to NULL -> keep zero scores
-        by_side = {r["side"]: float(r["n"] or 1.0) for r in norms}
-        na, nb = by_side["a"], by_side["b"]
-        state = (
-            vertices.join(araw.withColumnRenamed("_s", "_a"), "id", "left")
-            .join(braw.withColumnRenamed("_s", "_b"), "id", "left")
-            .select(
-                "id",
-                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(na)).alias("auth"),
-                (F.coalesce(F.col("_b"), F.lit(0.0)) / F.lit(nb)).alias("hub"),
+            # each agg row is tagged with a literal side key and unpacked
+            # BY KEY — the row order of a unioned collect is plan-order
+            # today but contracted nowhere, and a silent a/b swap would
+            # flip hub/auth normalization
+            norms = (
+                araw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
+                .select(F.lit("a").alias("side"), "n")
+                .unionAll(
+                    braw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("n"))
+                    .select(F.lit("b").alias("side"), "n")
+                )
+                .collect()
             )
-            .localCheckpoint(eager=False)
-        )
+            # edgeless graph: empty gathers sum to NULL -> keep zero scores
+            by_side = {r["side"]: float(r["n"] or 1.0) for r in norms}
+            na, nb = by_side["a"], by_side["b"]
+            state = (
+                vertices.join(araw.withColumnRenamed("_s", "_a"), "id", "left")
+                .join(braw.withColumnRenamed("_s", "_b"), "id", "left")
+                .select(
+                    "id",
+                    (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(na)).alias("auth"),
+                    (F.coalesce(F.col("_b"), F.lit(0.0)) / F.lit(nb)).alias("hub"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return HitsResult(state=state, supersteps=supersteps)
 
 

@@ -48,6 +48,30 @@ def static_conversion(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+@contextmanager
+def static_plan_scope(spark, partitions: int | None):
+    """Scope for a data-derived static round loop: AQE off + the given
+    shuffle-partition count, restored on exit (exceptions included).
+    `partitions=None` means "keep AQE" and the scope is a no-op — pass
+    the result of `PregelRunner._static_step_partitions` directly.
+
+    Rationale and measurements: engine/superstep.py (the same planner
+    decision the Pregel runner applies inline); used by round loops
+    that live outside the runner (cc_fast)."""
+    if partitions is None:
+        yield
+        return
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Materialize + truncate lineage, AQE-safely (see module doc).
 

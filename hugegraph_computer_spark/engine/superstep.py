@@ -33,6 +33,7 @@ unimplemented TODO (MasterService.java:337-343).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from collections.abc import Callable
@@ -155,6 +156,50 @@ class PregelRunner:
                 f"truncate_every must be >= 1, got {self.truncate_every}"
             )
 
+    # -- step planner ----------------------------------------------------
+    @staticmethod
+    def _static_step_partitions(g, spark) -> int | None:
+        """Data-derived choice between AQE and static step planning.
+
+        Under AQE the lazy localCheckpoint's plan->RDD conversion
+        eagerly executes every query stage as its own Spark job
+        (~6 jobs/superstep), which is the measured per-step floor when
+        the per-step data is small (sf0.1 floor profile: 0.89 s/step,
+        0.56 s of it the conversion). A statically planned step is ONE
+        job whose stages pipeline inside the JVM — but at the session's
+        full shuffle-partition count it loses AQE coalescing and pays
+        stages x partitions tiny-task launches (measured 1.59 s/step vs
+        0.88 at p=32, sf0.1). The resolution is to derive the partition
+        count from the data (guide: partitioning scale-adaptive, never a
+        constant): p = ceil(E / rows_per_task). When p < the graph's
+        partition count the per-task work is below task-launch
+        amortization, so the step runs statically at p (measured
+        0.55 s/step at p=4 vs 1.31 AQE in the same window, sf0.1,
+        local[32] — same superstep counts); when p >= partitions the
+        data is large enough to amortize the AQE floor and adaptive
+        planning keeps its runtime-broadcast/coalescing/skew advantages,
+        so the runner keeps today's AQE conversion unchanged.
+
+        Uses the edge count only when the graph ALREADY knows it
+        (captured from a materializing count that ran anyway) — unknown
+        counts never trigger an extra job, they just keep AQE mode.
+        """
+        planner = os.environ.get("SPARK_GRAFT_STEP_PLANNER", "auto")
+        if planner == "aqe":
+            return None
+        ne = getattr(g, "_ne", None)
+        parts = getattr(g, "partitions", None) or spark.sparkContext.defaultParallelism
+        rows_per_task = int(
+            os.environ.get("SPARK_GRAFT_STATIC_ROWS_PER_TASK", "32768")
+        )
+        if ne is None:
+            # forced static without a known count: use the partition count
+            return parts if planner == "static" else None
+        p = max(1, math.ceil(ne / rows_per_task))
+        if planner == "static":
+            return min(p, parts)
+        return p if p < parts else None
+
     # -- materialization -------------------------------------------------
     def _materialize(self, df: DataFrame) -> DataFrame:
         """Eager lineage cut — used on the resume path only."""
@@ -256,148 +301,171 @@ class PregelRunner:
         profile = bool(os.environ.get("SPARK_GRAFT_STEP_PROFILE"))
         steps_since_cut = 0
 
-        while not finished:
-            if should_stop is not None and should_stop():
-                raise RunAborted(
-                    f"{program.name}: stop requested before superstep {s + 1}"
-                )
-            t0 = time.monotonic()
-            if s < 0:
-                out = program.superstep0(g)
-                s = 0
-            else:
-                s += 1
-                out = program.superstep(s, g, state, messages, aggs)
-            t_plan = time.monotonic()
-
-            # Materialization strategy (keeps Spark jobs/superstep at 1-2
-            # and cached bytes at ~1 state copy):
-            # - state: the plan must be truncated every superstep —
-            #   without truncation each superstep's plan embeds the
-            #   previous state AND message plans (which embed the state
-            #   again), doubling plan size per superstep. This is the
-            #   reference's per-superstep status/value double-buffer
-            #   (FileGraphPartition.java:640-661). Two modes, MEASURED
-            #   head-to-head (PageRank sf0.1 x16, local[8]):
-            #   * "lazy" (default): single-job lazy localCheckpoint; the
-            #     step's statically-planned computation rides the
-            #     aggregate action. Steady 2.9 s/superstep.
-            #   * "aqe": persist -> aggregate action (step computation
-            #     runs UNDER adaptive execution into the cache) -> eager
-            #     localCheckpoint of the cache scan -> unpersist.
-            #     Hypothesis was static-planning waste; measurement says
-            #     otherwise — 6.4 s/superstep and degrading (the extra
-            #     cache+checkpoint double-store churns the block manager
-            #     and GC). AQE buys nothing here because the per-step
-            #     plans are two fixed key-partitioned shuffles with no
-            #     join-strategy or partition-count decisions worth
-            #     re-planning. Kept selectable (SPARK_GRAFT_STATE_MODE)
-            #     for re-measurement on other workload shapes.
-            # - messages: checkpointed ONLY when the halt rule needs their
-            #   count. Otherwise they stay lazy: consumed exactly once by
-            #   the next superstep's job (their plan roots at the
-            #   checkpointed state, so no lineage growth), and never cached
-            #   — halving per-superstep block-manager churn and GC.
-            exprs = [v.alias(k) for k, v in out.agg_exprs.items()]
-            exprs.append(F.count(F.lit(1)).alias("_state_rows"))
-            if self.state_mode == "aqe":
-                cached = out.state.persist()
-                _t = time.monotonic()
-                row = cached.agg(*exprs).collect()[0]
-                dur_action = time.monotonic() - _t
-                _t = time.monotonic()
-                new_state = cached.localCheckpoint(eager=True)
-                dur_ckpt = time.monotonic() - _t
-                cached.unpersist()
-            elif self.state_mode == "cache":
-                # persist-only: the action executes the step INTO the
-                # cache; no plan->RDD conversion ever happens. Later
-                # supersteps plan against the cached analyzed plan
-                # (CacheManager substitutes InMemoryRelation), so the
-                # physical plan per step stays two shuffles + a cache
-                # scan. prev-state unpersist below frees each cache one
-                # step after it stops being an input.
-                new_state = out.state.persist()
-                dur_ckpt = 0.0
-                _t = time.monotonic()
-                row = new_state.agg(*exprs).collect()[0]
-                dur_action = time.monotonic() - _t
-            else:
-                steps_since_cut += 1
-                if steps_since_cut >= self.truncate_every:
-                    _t = time.monotonic()
-                    # NOTE (round-6 A/B): converting this under
-                    # static_conversion (AQE off) preserves the state's
-                    # hash partitioning and yields a textbook 1-Exchange
-                    # static step plan, but loses AQE partition
-                    # coalescing — at floor-bound scale the 4x32 task
-                    # launches cost more than the saved Exchange
-                    # (steady step 1.59 s vs 0.88 s measured at sf0.1,
-                    # local[32]); the AQE conversion stays.
-                    new_state = out.state.localCheckpoint(eager=False)
-                    dur_ckpt = time.monotonic() - _t
-                    steps_since_cut = 0
+        # Data-derived static step planning (see _static_step_partitions):
+        # when the per-step data is too small to amortize AQE's
+        # per-stage job scheduling, run the whole loop statically at a
+        # derived partition count; otherwise this is None and nothing
+        # changes. Scoped to this run and restored in `finally` (the
+        # cooperative-cancel RunAborted path included).
+        static_p = (
+            self._static_step_partitions(g, spark)
+            if self.state_mode == "lazy"
+            else None
+        )
+        if static_p is not None:
+            _saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            _saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", str(static_p))
+        try:
+            while not finished:
+                if should_stop is not None and should_stop():
+                    raise RunAborted(
+                        f"{program.name}: stop requested before superstep {s + 1}"
+                    )
+                t0 = time.monotonic()
+                if s < 0:
+                    out = program.superstep0(g)
+                    s = 0
                 else:
-                    # in-window superstep: no lineage cut — the action
-                    # below plans and re-executes the (bounded) uncut
-                    # window; see truncate_every in __init__
-                    new_state = out.state
+                    s += 1
+                    out = program.superstep(s, g, state, messages, aggs)
+                t_plan = time.monotonic()
+
+                # Materialization strategy (keeps Spark jobs/superstep at 1-2
+                # and cached bytes at ~1 state copy):
+                # - state: the plan must be truncated every superstep —
+                #   without truncation each superstep's plan embeds the
+                #   previous state AND message plans (which embed the state
+                #   again), doubling plan size per superstep. This is the
+                #   reference's per-superstep status/value double-buffer
+                #   (FileGraphPartition.java:640-661). Two modes, MEASURED
+                #   head-to-head (PageRank sf0.1 x16, local[8]):
+                #   * "lazy" (default): single-job lazy localCheckpoint; the
+                #     step's statically-planned computation rides the
+                #     aggregate action. Steady 2.9 s/superstep.
+                #   * "aqe": persist -> aggregate action (step computation
+                #     runs UNDER adaptive execution into the cache) -> eager
+                #     localCheckpoint of the cache scan -> unpersist.
+                #     Hypothesis was static-planning waste; measurement says
+                #     otherwise — 6.4 s/superstep and degrading (the extra
+                #     cache+checkpoint double-store churns the block manager
+                #     and GC). AQE buys nothing here because the per-step
+                #     plans are two fixed key-partitioned shuffles with no
+                #     join-strategy or partition-count decisions worth
+                #     re-planning. Kept selectable (SPARK_GRAFT_STATE_MODE)
+                #     for re-measurement on other workload shapes.
+                # - messages: checkpointed ONLY when the halt rule needs their
+                #   count. Otherwise they stay lazy: consumed exactly once by
+                #   the next superstep's job (their plan roots at the
+                #   checkpointed state, so no lineage growth), and never cached
+                #   — halving per-superstep block-manager churn and GC.
+                exprs = [v.alias(k) for k, v in out.agg_exprs.items()]
+                exprs.append(F.count(F.lit(1)).alias("_state_rows"))
+                if self.state_mode == "aqe":
+                    cached = out.state.persist()
+                    _t = time.monotonic()
+                    row = cached.agg(*exprs).collect()[0]
+                    dur_action = time.monotonic() - _t
+                    _t = time.monotonic()
+                    new_state = cached.localCheckpoint(eager=True)
+                    dur_ckpt = time.monotonic() - _t
+                    cached.unpersist()
+                elif self.state_mode == "cache":
+                    # persist-only: the action executes the step INTO the
+                    # cache; no plan->RDD conversion ever happens. Later
+                    # supersteps plan against the cached analyzed plan
+                    # (CacheManager substitutes InMemoryRelation), so the
+                    # physical plan per step stays two shuffles + a cache
+                    # scan. prev-state unpersist below frees each cache one
+                    # step after it stops being an input.
+                    new_state = out.state.persist()
                     dur_ckpt = 0.0
-                _t = time.monotonic()
-                row = new_state.agg(*exprs).collect()[0]
-                dur_action = time.monotonic() - _t
-            t_mat = time.monotonic()
-            new_msgs = None
-            if out.make_messages is not None:
-                new_msgs = out.make_messages(new_state)
-                if program.needs_message_count:
-                    new_msgs = new_msgs.localCheckpoint(eager=False)
+                    _t = time.monotonic()
+                    row = new_state.agg(*exprs).collect()[0]
+                    dur_action = time.monotonic() - _t
+                else:
+                    steps_since_cut += 1
+                    if steps_since_cut >= self.truncate_every:
+                        _t = time.monotonic()
+                        # NOTE (round-6 A/B): converting this under
+                        # static_conversion (AQE off) at the session's
+                        # p=32 was measured WORSE (1.59 s vs 0.88 s/step,
+                        # sf0.1, local[32]) — 4 stages x 32 tiny-task
+                        # launches outweigh the saved Exchange. The
+                        # data-derived planner above resolves this: when
+                        # static_p is set, this same call converts
+                        # statically at the derived partition count
+                        # (0.55 s/step measured at p=4); otherwise it
+                        # converts under AQE exactly as before.
+                        new_state = out.state.localCheckpoint(eager=False)
+                        dur_ckpt = time.monotonic() - _t
+                        steps_since_cut = 0
+                    else:
+                        # in-window superstep: no lineage cut — the action
+                        # below plans and re-executes the (bounded) uncut
+                        # window; see truncate_every in __init__
+                        new_state = out.state
+                        dur_ckpt = 0.0
+                    _t = time.monotonic()
+                    row = new_state.agg(*exprs).collect()[0]
+                    dur_action = time.monotonic() - _t
+                t_mat = time.monotonic()
+                new_msgs = None
+                if out.make_messages is not None:
+                    new_msgs = out.make_messages(new_state)
+                    if program.needs_message_count:
+                        new_msgs = new_msgs.localCheckpoint(eager=False)
 
-            # one agg pass = the reference's per-worker partial aggregate
-            # + master merge (MasterAggrManager/WorkerAggrManager)
-            aggs = row.asDict()
-            if new_msgs is None:
-                aggs[MSG_COUNT] = 0
-            elif program.needs_message_count:
-                aggs[MSG_COUNT] = new_msgs.count()
-            else:
-                aggs[MSG_COUNT] = None  # unknown, assumed non-empty
-            aggs[SUPERSTEP] = s
+                # one agg pass = the reference's per-worker partial aggregate
+                # + master merge (MasterAggrManager/WorkerAggrManager)
+                aggs = row.asDict()
+                if new_msgs is None:
+                    aggs[MSG_COUNT] = 0
+                elif program.needs_message_count:
+                    aggs[MSG_COUNT] = new_msgs.count()
+                else:
+                    aggs[MSG_COUNT] = None  # unknown, assumed non-empty
+                aggs[SUPERSTEP] = s
 
-            if prev_state is not None:
-                prev_state.unpersist()
-            if prev_msgs is not None and program.needs_message_count:
-                prev_msgs.unpersist()
-            prev_state, prev_msgs = state, messages
-            state, messages = new_state, new_msgs
+                if prev_state is not None:
+                    prev_state.unpersist()
+                if prev_msgs is not None and program.needs_message_count:
+                    prev_msgs.unpersist()
+                prev_state, prev_msgs = state, messages
+                state, messages = new_state, new_msgs
 
-            t_end = time.monotonic()
-            step_metrics = {
-                "superstep": s,
-                "seconds": t_end - t0,
-                "messages": aggs[MSG_COUNT],
-                "state_rows": int(aggs["_state_rows"]),
-                "aggregates": {
-                    k: aggs[k] for k in out.agg_exprs
-                },
-            }
-            if profile:
-                step_metrics["phase_seconds"] = {
-                    "plan": round(t_plan - t0, 4),
-                    "checkpoint": round(dur_ckpt, 4),
-                    "action": round(dur_action, 4),
-                    "messages": round(t_end - t_mat, 4),
+                t_end = time.monotonic()
+                step_metrics = {
+                    "superstep": s,
+                    "seconds": t_end - t0,
+                    "messages": aggs[MSG_COUNT],
+                    "state_rows": int(aggs["_state_rows"]),
+                    "aggregates": {
+                        k: aggs[k] for k in out.agg_exprs
+                    },
                 }
-            history.append(step_metrics)
-            if on_superstep is not None:
-                on_superstep(step_metrics)
+                if profile:
+                    step_metrics["phase_seconds"] = {
+                        "plan": round(t_plan - t0, 4),
+                        "checkpoint": round(dur_ckpt, 4),
+                        "action": round(dur_action, 4),
+                        "messages": round(t_end - t_mat, 4),
+                    }
+                history.append(step_metrics)
+                if on_superstep is not None:
+                    on_superstep(step_metrics)
 
-            finished = self._finished(program, s, aggs)
-            if self.checkpoint_dir and (
-                finished or (s > 0 and s % self.checkpoint_every == 0)
-            ):
-                self._write_checkpoint(program, s, state, messages, aggs)
+                finished = self._finished(program, s, aggs)
+                if self.checkpoint_dir and (
+                    finished or (s > 0 and s % self.checkpoint_every == 0)
+                ):
+                    self._write_checkpoint(program, s, state, messages, aggs)
 
+        finally:
+            if static_p is not None:
+                spark.conf.set("spark.sql.adaptive.enabled", _saved_aqe)
+                spark.conf.set("spark.sql.shuffle.partitions", _saved_sp)
         total = time.monotonic() - t_run0
         metrics = {
             "algorithm": program.name,

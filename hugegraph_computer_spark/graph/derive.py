@@ -209,6 +209,11 @@ class Graph:
     partitions: int | None = None
     _nv: int | None = field(default=None, repr=False)
     _deg: DataFrame | None = field(default=None, repr=False)
+    # edge count when already known (captured from a materializing count
+    # that ran anyway — never costs an extra job). Consumers treat None
+    # as "unknown": the superstep runner then keeps its default AQE
+    # planning instead of deriving a static partition count.
+    _ne: int | None = field(default=None, repr=False)
 
     @classmethod
     def from_transcripts(
@@ -237,14 +242,24 @@ class Graph:
             nodes = nodes.localCheckpoint(eager=False)
             nv = nodes.count()
             edges = edges.localCheckpoint(eager=False)
-            edges.count()
-        return cls(vertices=nodes, edges=edges, partitions=partitions, _nv=nv)
+            ne = edges.count()
+        else:
+            ne = None
+        return cls(
+            vertices=nodes, edges=edges, partitions=partitions, _nv=nv, _ne=ne
+        )
 
     @property
     def num_vertices(self) -> int:
         if self._nv is None:
             self._nv = self.vertices.count()
         return self._nv
+
+    @property
+    def num_edges(self) -> int:
+        if self._ne is None:
+            self._ne = self.edges.count()
+        return self._ne
 
     def out_degrees(self) -> DataFrame:
         """(id, outdeg) for every vertex, 0 for dangling — one edge-count
@@ -276,7 +291,13 @@ class Graph:
             "weight",
             "etype",
         ).withColumn("inv", F.lit(True))
-        return Graph(self.vertices, fwd.unionByName(rev), self.partitions, self._nv)
+        return Graph(
+            self.vertices,
+            fwd.unionByName(rev),
+            self.partitions,
+            self._nv,
+            _ne=2 * self._ne if self._ne is not None else None,
+        )
 
     def in_direction(self) -> "Graph":
         """`input.edge_direction=IN` loader view
@@ -291,7 +312,7 @@ class Graph:
         )
         if self.partitions:
             rev = rev.repartition(self.partitions, "src")
-        return Graph(self.vertices, rev, self.partitions, self._nv)
+        return Graph(self.vertices, rev, self.partitions, self._nv, _ne=self._ne)
 
     def undirected_single(self) -> "Graph":
         """Symmetrized, (src,dst)-deduped, self-loop-free view — the
@@ -393,7 +414,12 @@ class Graph:
         # windows). The dense tables are scanned O(supersteps) times,
         # so storage format beats the per-step re-analysis of this
         # (small: two joins over pinned inputs) plan subtree.
-        dense = Graph(verts.persist(), edges.persist(), self.partitions, self._nv)
+        # id remap is 1:1 over endpoints that are all vertices, so the
+        # edge count carries over unchanged
+        dense = Graph(
+            verts.persist(), edges.persist(), self.partitions, self._nv,
+            _ne=self._ne,
+        )
         return dense, mapping
 
 

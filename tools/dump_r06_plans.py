@@ -82,24 +82,40 @@ def main() -> None:
 
 def _dump_pagerank_step(entrymod, spark, sf_dir: str, suffix: str) -> None:
     """One representative PageRank superstep plan (state update +
-    scatter), the shape every engine superstep pays."""
+    scatter), the shape every engine superstep pays — dumped under the
+    same planner confs the runner would pick for this graph (the
+    data-derived static mode when active, AQE otherwise)."""
     from hugegraph_computer_spark.algorithms import PageRank
 
     g = entrymod._graph(spark, sf_dir)
+    try:
+        from hugegraph_computer_spark.engine.pin import static_plan_scope
+        from hugegraph_computer_spark.engine.superstep import PregelRunner
+
+        static_p = PregelRunner._static_step_partitions(g, spark)
+    except ImportError:  # pre-planner tree (the `before` worktree)
+        from contextlib import nullcontext
+
+        static_plan_scope = lambda _s, _p: nullcontext()  # noqa: E731
+        static_p = None
     pr = PageRank(l1_tol=0.0, max_supersteps=3)
     pr.prepare(g)
-    out0 = pr.superstep0(g)
-    st0 = out0.state.localCheckpoint(eager=True)
-    msgs0 = out0.make_messages(st0)
-    out1 = pr.superstep(
-        1, g, st0, msgs0, {"cumulative_rank": 1.0, "dangling_cumulative": 0.0}
-    )
-    path = os.path.join(OUT_DIR, f"pagerank_step_{suffix}.txt")
-    with open(path, "w") as f:
-        f.write(f"# pagerank superstep-1 state plan — sf={sf_dir}\n\n")
-        f.write(fmt(out1.state))
-        f.write("\n\n# superstep-1 message plan\n\n")
-        f.write(fmt(out1.make_messages(st0)))
+    with static_plan_scope(spark, static_p):
+        out0 = pr.superstep0(g)
+        st0 = out0.state.localCheckpoint(eager=True)
+        msgs0 = out0.make_messages(st0)
+        out1 = pr.superstep(
+            1, g, st0, msgs0, {"cumulative_rank": 1.0, "dangling_cumulative": 0.0}
+        )
+        path = os.path.join(OUT_DIR, f"pagerank_step_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(
+                f"# pagerank superstep-1 state plan — sf={sf_dir}, "
+                f"planner={'static p=%d' % static_p if static_p else 'aqe'}\n\n"
+            )
+            f.write(fmt(out1.state))
+            f.write("\n\n# superstep-1 message plan\n\n")
+            f.write(fmt(out1.make_messages(st0)))
     print("wrote", path, flush=True)
 
 
