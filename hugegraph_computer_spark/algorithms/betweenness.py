@@ -131,24 +131,29 @@ def betweenness_brandes(g, max_rounds: int = 32) -> DataFrame:
     the shared SQL oracle). This is the formulation to run at 10^12-turn
     scale (for the sampled-source estimator, which BFS-restricts the
     frontier too, see betweenness_brandes_sampled)."""
+    from hugegraph_computer_spark.engine.pin import cut_counted
+
     e = g.edges.select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
     ).distinct().persist()
 
+    # round-6 round plumbing (same shape closeness got): each frame is
+    # a lazy lineage cut whose materializing count doubles as the
+    # emptiness check — replaces one eager-checkpoint pass + one
+    # isEmpty job per frame per round. Values unchanged: only the
+    # materialization timing moves.
     # hop-level BFS with path counts; `reach` accumulates finalized rows
-    frontier = (
-        e.where(F.col("e_src") != F.col("e_dst"))
-        .select(
+    frontier, n = cut_counted(
+        e.where(F.col("e_src") != F.col("e_dst")).select(
             F.col("e_src").alias("s"),
             F.col("e_dst").alias("v"),
             F.lit(1).alias("dist"),
             F.lit(1).cast("long").alias("sigma"),
         )
-        .localCheckpoint(eager=True)
     )
     reach = frontier
     rounds = 1
-    while rounds < max_rounds and not frontier.isEmpty():
+    while rounds < max_rounds and n > 0:
         rounds += 1
         nxt = (
             frontier.join(e, frontier["v"] == e["e_src"])
@@ -159,7 +164,7 @@ def betweenness_brandes(g, max_rounds: int = 32) -> DataFrame:
         seen = reach.select("s", F.col("v").alias("v2")).withColumn(
             "_seen", F.lit(True)
         )
-        nxt = (
+        frontier, n = cut_counted(
             nxt.join(seen, ["s", "v2"], "left")
             .where(F.col("_seen").isNull())
             .select(
@@ -168,12 +173,12 @@ def betweenness_brandes(g, max_rounds: int = 32) -> DataFrame:
                 (F.col("d") + 1).alias("dist"),
                 "sigma",
             )
-            .localCheckpoint(eager=True)
         )
-        frontier = nxt
-        if frontier.isEmpty():
+        if n == 0:
             break
-        reach = reach.unionByName(frontier).localCheckpoint(eager=True)
+        # lazy cut: materialized inside the next round's frontier count
+        # (via `seen`) or, for the last round, by the final triple join
+        reach = reach.unionByName(frontier).localCheckpoint(eager=False)
 
     sv = reach.select(
         F.col("s").alias("sv_s"), F.col("v").alias("mid"),
@@ -223,11 +228,15 @@ def betweenness_brandes_sampled(
     pairs — so sample_rate=1.0 reproduces betweenness_brandes values
     EXACTLY (pytest-asserted), and any rate matches the SQL oracle's
     source-filtered triple join."""
+    from hugegraph_computer_spark.engine.pin import cut_counted
+
     e = g.edges.select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
     ).distinct().persist()
 
-    frontier = (
+    # round-6 round plumbing: lazy cuts + count-as-emptiness-check, as
+    # in betweenness_brandes above (values unchanged)
+    frontier, n = cut_counted(
         e.where(F.col("e_src") != F.col("e_dst"))
         .where(source_sample_predicate(F.col("e_src"), sample_rate))
         .select(
@@ -235,18 +244,17 @@ def betweenness_brandes_sampled(
             F.col("e_dst").alias("v"),
             F.lit(1).cast("long").alias("sigma"),
         )
-        .localCheckpoint(eager=True)
     )
     levels: list[DataFrame] = [frontier]  # levels[d-1] = frontier at dist d
-    seen = frontier.select("s", "v").localCheckpoint(eager=True)
-    while len(levels) < max_rounds and not frontier.isEmpty():
+    seen = frontier.select("s", "v").localCheckpoint(eager=False)
+    while len(levels) < max_rounds and n > 0:
         nxt = (
             frontier.join(e, frontier["v"] == e["e_src"])
             .where(F.col("e_dst") != F.col("s"))
             .groupBy("s", F.col("e_dst").alias("v2"))
             .agg(F.sum("sigma").alias("sigma"))
         )
-        nxt = (
+        nxt, n = cut_counted(
             nxt.join(
                 seen.withColumnRenamed("v", "v2").withColumn("_seen", F.lit(True)),
                 ["s", "v2"],
@@ -254,13 +262,14 @@ def betweenness_brandes_sampled(
             )
             .where(F.col("_seen").isNull())
             .select("s", F.col("v2").alias("v"), "sigma")
-            .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if n == 0:
             break
         frontier = nxt
         levels.append(frontier)
-        seen = seen.unionByName(frontier.select("s", "v")).localCheckpoint(eager=True)
+        seen = seen.unionByName(frontier.select("s", "v")).localCheckpoint(
+            eager=False
+        )
 
     # backward sweep: delta at the deepest level is 0; each level down
     # gathers sigma_v/sigma_w * (1 + delta_w) from successors at d+1
@@ -292,16 +301,20 @@ def betweenness_brandes_sampled(
                 ).alias("delta")
             )
         )
+        # lazy cuts: the whole backward sweep then materializes under
+        # the single final aggregation job (every per-level plan is
+        # still converted/stage-executed at cut time, so plans stay
+        # bounded), instead of paying an eager store pass per level
         delta = (
             cur.join(contrib, ["s", "v"], "left")
             .select(
                 "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         part = delta.where(F.col("delta") > 0).select("v", "delta")
         acc = part if acc is None else acc.unionByName(part)
-        acc = acc.localCheckpoint(eager=True)
+        acc = acc.localCheckpoint(eager=False)
 
     e.unpersist()
     if acc is None:
