@@ -20,6 +20,7 @@ that subtree from all downstream per-step planning.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -48,28 +49,46 @@ def static_conversion(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+# SQL confs are per-SESSION, not per-thread, and ComputerDriver runs
+# jobs concurrently on one session (engine/driver.py) — so only ONE
+# loop at a time may own the static-planning confs. A loop that cannot
+# take the lock simply keeps AQE (today's default behavior; values are
+# partition-count-independent, only the floor optimization is skipped).
+# Non-blocking also makes nested scopes on the same thread safe: the
+# inner scope no-ops and inherits the outer confs.
+_STATIC_SCOPE_LOCK = threading.Lock()
+
+
 @contextmanager
 def static_plan_scope(spark, partitions: int | None):
     """Scope for a data-derived static round loop: AQE off + the given
     shuffle-partition count, restored on exit (exceptions included).
     `partitions=None` means "keep AQE" and the scope is a no-op — pass
     the result of `PregelRunner._static_step_partitions` directly.
+    The scope is also a no-op when another loop currently owns the
+    session's planning confs (see _STATIC_SCOPE_LOCK).
 
     Rationale and measurements: engine/superstep.py (the same planner
-    decision the Pregel runner applies inline); used by round loops
-    that live outside the runner (cc_fast)."""
+    decision the Pregel runner applies through this scope); also used
+    by round loops outside the runner (cc_fast, hits)."""
     if partitions is None:
         yield
         return
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    try:
+    if not _STATIC_SCOPE_LOCK.acquire(blocking=False):
         yield
+        return
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        _STATIC_SCOPE_LOCK.release()
 
 
 def pin(df: DataFrame) -> DataFrame:

@@ -43,6 +43,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hugegraph_computer_spark.engine.pin import static_plan_scope
+
 MSG_COUNT = "_message_count"
 SUPERSTEP = "_superstep"
 
@@ -312,11 +314,11 @@ class PregelRunner:
             if self.state_mode == "lazy"
             else None
         )
-        if static_p is not None:
-            _saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-            _saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            spark.conf.set("spark.sql.shuffle.partitions", str(static_p))
+        # conf handling (save/set/restore + the concurrent-jobs lock)
+        # lives in static_plan_scope; entered manually so the loop body
+        # keeps its existing try/finally structure
+        _scope = static_plan_scope(spark, static_p)
+        _scope.__enter__()
         try:
             while not finished:
                 if should_stop is not None and should_stop():
@@ -463,9 +465,7 @@ class PregelRunner:
                     self._write_checkpoint(program, s, state, messages, aggs)
 
         finally:
-            if static_p is not None:
-                spark.conf.set("spark.sql.adaptive.enabled", _saved_aqe)
-                spark.conf.set("spark.sql.shuffle.partitions", _saved_sp)
+            _scope.__exit__(None, None, None)
         total = time.monotonic() - t_run0
         metrics = {
             "algorithm": program.name,

@@ -76,3 +76,28 @@ def test_conf_restored_on_abort(sf_graph):
     with pytest.raises(RunAborted):
         PregelRunner().run(Wcc(), sf_graph, should_stop=lambda: True)
     assert _confs(spark) == before
+
+
+def test_scope_noops_when_lock_held(sf_graph):
+    """SQL confs are session-global and ComputerDriver runs jobs
+    concurrently on one session: a loop that cannot take the static
+    scope lock must keep AQE untouched (and still compute correctly)."""
+    from hugegraph_computer_spark.engine import pin
+
+    spark = sf_graph.vertices.sparkSession
+    before = _confs(spark)
+    assert pin._STATIC_SCOPE_LOCK.acquire(blocking=False)
+    try:
+        with pin.static_plan_scope(spark, 4):
+            assert _confs(spark) == before  # no-op: lock owned elsewhere
+        res = PregelRunner().run(
+            PageRank(l1_tol=0.0, max_supersteps=3), sf_graph
+        )
+        assert res.supersteps == 3
+        assert _confs(spark) == before
+    finally:
+        pin._STATIC_SCOPE_LOCK.release()
+    # lock free again: the scope applies and restores
+    with pin.static_plan_scope(spark, 4):
+        assert _confs(spark) == ("false", "4")
+    assert _confs(spark) == before
